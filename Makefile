@@ -1,0 +1,17 @@
+# Test/bench entry points.
+#
+# Unit tests run on a virtual 8-device CPU mesh (no TPU needed). The env
+# overrides bypass the axon TPU-claim sitecustomize, which otherwise adds
+# ~30s of grant-claim latency to every python process.
+TEST_ENV = PYTHONPATH= PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu
+
+.PHONY: test bench native
+
+test:
+	$(TEST_ENV) python -m pytest tests/ -x -q
+
+bench:
+	python bench.py
+
+native:
+	python -m segfusion_tpu.native.build
