@@ -1,0 +1,287 @@
+"""Database: per-scene volume store with device residency.
+
+Re-design of the reference Database (reference modules/database.py:18-421).
+The reference keeps numpy/torch volumes on host (or GPU under
+``implementation: efficient``) and converts with to_torch/to_numpy; here each
+scene's fusion state is a :class:`SceneVolume` pytree that lives in HBM for
+the whole run, and the ground-truth TSDF (+ labels) are device arrays used by
+the training extractor. Host copies happen only at evaluation / save
+boundaries.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import metrics as metrics_lib
+from ..utils.mapping import get_mapping
+from .volume import SceneVolume, init_scene_volume
+
+__all__ = ["Database"]
+
+
+class Database:
+    """Holds, per scene: gt TSDF (+gt labels), estimated TSDF, fusion
+    weights, semantic ids, semantic scores (reference
+    modules/database.py:20-79)."""
+
+    def __init__(self, dataset, config):
+        self.initial_value = float(config.init_value)
+        self.semantics = bool(config.get("semantics"))
+        self.semantic_grid = bool(config.get("semantic_grid"))
+        self.n_classes = int(config.get("n_classes", 0) or 0)
+        self.pad_shape_multiple = int(config.get("pad_shape_multiple", 1) or 1)
+
+        self.scenes = []
+        self.state: Dict[str, bool] = {}
+        self.origin: Dict[str, np.ndarray] = {}
+        self.resolution: Dict[str, float] = {}
+        self.grid_shape: Dict[str, tuple] = {}   # unpadded gt shape
+        self.scenes_gt: Dict[str, jnp.ndarray] = {}
+        self.ids_gt: Dict[str, np.ndarray] = {}
+        self.volumes: Dict[str, SceneVolume] = {}
+
+        for s in dataset.scenes:
+            try:
+                grid = dataset.get_grid(s, self.initial_value,
+                                        self.semantic_grid)
+            except Exception:
+                # no gt available (e.g. raw ScanNet scans) -> empty grid from
+                # the scene bbox (reference modules/database.py:50-53)
+                grid = dataset.create_grid(s, self.initial_value)
+            self.scenes.append(s)
+            gt = grid[0]
+            self.state[s] = False
+            self.origin[s] = np.asarray(gt.origin, np.float32)
+            self.resolution[s] = float(gt.resolution)
+            self.grid_shape[s] = tuple(gt.volume.shape)
+
+            shape = self._padded_shape(gt.volume.shape)
+            gt_arr = np.full(shape, self.initial_value, np.float32)
+            gt_arr[:gt.volume.shape[0], :gt.volume.shape[1],
+                   :gt.volume.shape[2]] = gt.volume.astype(np.float32)
+            self.scenes_gt[s] = jnp.asarray(gt_arr)
+
+            if self.semantics and self.semantic_grid and grid[1] is not None:
+                ids = np.zeros(shape, np.uint8)
+                g1 = grid[1].volume
+                ids[:g1.shape[0], :g1.shape[1], :g1.shape[2]] = \
+                    g1.astype(np.uint8)
+                self.ids_gt[s] = ids
+
+            self.volumes[s] = init_scene_volume(
+                shape, self.origin[s], self.resolution[s],
+                self.initial_value)
+
+    # -- shape handling -----------------------------------------------------
+
+    def _padded_shape(self, shape):
+        m = self.pad_shape_multiple
+        if m <= 1:
+            return tuple(shape)
+        return tuple(int(-(-d // m) * m) for d in shape)
+
+    def _crop(self, arr, scene_id):
+        sx, sy, sz = self.grid_shape[scene_id]
+        return np.asarray(arr)[:sx, :sy, :sz]
+
+    # -- reference Dataset-style access --------------------------------------
+
+    def __len__(self):
+        return len(self.scenes)
+
+    def __getitem__(self, scene_id: str):
+        """Reference contract (modules/database.py:81-103)."""
+        v = self.volumes[scene_id]
+        return {
+            "origin": v.origin,
+            "resolution": v.resolution,
+            "gt": self.scenes_gt[scene_id],
+            "current": v.tsdf,
+            "weights": v.weights,
+            "ids_est": v.semantics if self.semantics else None,
+            "scores": v.scores if self.semantics else None,
+            "ids_gt": self.ids_gt.get(scene_id) if self.semantics else None,
+        }
+
+    def update(self, scene_id: str, volume: SceneVolume):
+        """Store the post-integration state (the reference mutates volumes in
+        place, modules/pipeline.py:239-244; here state is functional)."""
+        self.volumes[scene_id] = volume
+        self.state[scene_id] = True
+
+    # -- lifecycle ------------------------------------------------------------
+
+    def reset(self, scene_id: Optional[str] = None):
+        """Reinitialise estimated volumes (reference modules/database.py:351-370)."""
+        targets = [scene_id] if scene_id else self.scenes
+        for s in targets:
+            self.state[s] = False
+            self.volumes[s] = self.volumes[s].reset(self.initial_value)
+
+    # -- post-processing -------------------------------------------------------
+
+    def filter(self, value: float = 2.0):
+        """Outlier removal: voxels with weight < value are reinitialised
+        (reference modules/database.py:108-112)."""
+        for s in self.scenes:
+            v = self.volumes[s]
+            keep = v.weights >= value
+            self.volumes[s] = SceneVolume(
+                tsdf=jnp.where(keep, v.tsdf, self.initial_value),
+                weights=jnp.where(keep, v.weights, 0.0),
+                semantics=v.semantics, scores=v.scores,
+                origin=v.origin, resolution=v.resolution)
+
+    def filter_semantics(self, size: int = 5):
+        """3D median filter over the label volume
+        (reference modules/database.py:114-116)."""
+        from scipy.ndimage import median_filter
+        for s in self.scenes:
+            v = self.volumes[s]
+            ids = median_filter(np.asarray(v.semantics), size=size)
+            self.volumes[s] = SceneVolume(
+                tsdf=v.tsdf, weights=v.weights,
+                semantics=jnp.asarray(ids, jnp.uint8), scores=v.scores,
+                origin=v.origin, resolution=v.resolution)
+
+    # -- meshing / saving -------------------------------------------------------
+
+    def get_mesh(self, scene_id: str, semantics: bool = False):
+        """Marching-cubes mesh of the estimated TSDF, optionally with
+        per-vertex semantic colors (reference modules/database.py:118-139)."""
+        from ..native.mcubes import marching_cubes
+        voxel_size = self.resolution[scene_id]
+        vol = self._crop(self.volumes[scene_id].tsdf, scene_id)
+        verts, faces, normals = marching_cubes(vol.astype(np.float32), 0.0,
+                                               spacing=voxel_size)
+        if semantics:
+            ids_vol = self._crop(self.volumes[scene_id].semantics, scene_id)
+            vi = np.clip(np.round(verts / voxel_size).astype(np.int64), 0,
+                         np.array(ids_vol.shape) - 1)
+            ids = ids_vol[vi[:, 0], vi[:, 1], vi[:, 2]]
+            map_rgb = get_mapping().copy()
+            map_rgb[0] = [128, 128, 128]
+            rgb = map_rgb[ids] / 255.0
+        else:
+            rgb = None
+        return verts, faces, normals, rgb
+
+    def save_to_workspace(self, workspace, mode, save_mode="ply"):
+        """Reference modules/database.py:141-177."""
+        for s in self.scenes:
+            if not self.state[s]:
+                continue
+            base = s.replace("/", ".")
+            if save_mode in ("tsdf", "test"):
+                workspace.save_tsdf_data(f"{base}.tsdf_{mode}.hf5",
+                                         self._crop(self.volumes[s].tsdf, s))
+                workspace.save_weights_data(
+                    f"{base}.weights_{mode}.hf5",
+                    self._crop(self.volumes[s].weights, s))
+                if self.semantics:
+                    workspace.save_semantic_data(
+                        f"{base}.semantic_{mode}.hf5",
+                        self._crop(self.volumes[s].semantics, s))
+            if save_mode in ("ply", "test"):
+                try:
+                    verts, faces, normals, _ = self.get_mesh(s)
+                    workspace.save_ply_mesh(f"{base}_{mode}.ply", verts,
+                                            faces, normals)
+                except ValueError:
+                    pass  # no zero crossing yet
+
+    def save(self, path: str, save_mode: str = "ply",
+             scene_id: Optional[str] = None):
+        """Save hdf5 volumes + ply meshes (+ semantic-colored ply with ids in
+        the alpha channel) -- reference modules/database.py:180-261."""
+        import h5py
+        from ..utils.meshio import write_ply
+        if scene_id is None:
+            raise NotImplementedError
+        base = scene_id.replace("/", ".")
+        os.makedirs(path, exist_ok=True)
+
+        if save_mode in ("tsdf", "test"):
+            tsdf = self._crop(self.volumes[scene_id].tsdf, scene_id)
+            weights = self._crop(self.volumes[scene_id].weights, scene_id)
+            with h5py.File(os.path.join(path, f"{base}.tsdf.hf5"), "w") as hf:
+                hf.create_dataset("TSDF", shape=tsdf.shape, data=tsdf)
+            with h5py.File(os.path.join(path, f"{base}.weights.hf5"), "w") as hf:
+                hf.create_dataset("weights", shape=weights.shape, data=weights)
+            if self.semantics:
+                sem = self._crop(self.volumes[scene_id].semantics, scene_id)
+                with h5py.File(os.path.join(path, f"{base}.semantics.hf5"),
+                               "w") as hf:
+                    hf.create_dataset("semantics", shape=sem.shape, data=sem)
+
+        if save_mode in ("ply", "test"):
+            verts, faces, normals, _ = self.get_mesh(scene_id)
+            write_ply(os.path.join(path, f"{base}.ply"), verts, faces,
+                      normals=normals)
+            if self.semantics and save_mode == "test":
+                verts, faces, normals, rgb = self.get_mesh(scene_id,
+                                                           semantics=True)
+                ids_vol = self._crop(self.volumes[scene_id].semantics,
+                                     scene_id)
+                voxel_size = self.resolution[scene_id]
+                vi = np.clip(np.round(verts / voxel_size).astype(np.int64),
+                             0, np.array(ids_vol.shape) - 1)
+                ids = ids_vol[vi[:, 0], vi[:, 1], vi[:, 2]]
+                rgba = np.concatenate(
+                    [np.asarray(rgb * 255, np.uint8),
+                     ids[:, None].astype(np.uint8)], axis=1)
+                write_ply(os.path.join(path, f"{base}_semantic.ply"), verts,
+                          faces, normals=normals, colors=rgba)
+
+    # -- evaluation -----------------------------------------------------------
+
+    def evaluate(self, mode="train", workspace=None):
+        """Geometry metrics over observed voxels, averaged over scenes
+        (reference modules/database.py:265-309)."""
+        eval_results: Dict[str, float] = {}
+        per_scene = {}
+        for s in self.scenes:
+            if not self.state[s]:
+                continue
+            est = self._crop(self.volumes[s].tsdf, s)
+            gt = np.asarray(self._crop(self.scenes_gt[s], s))
+            mask = self._crop(self.volumes[s].weights, s) > 0
+            r = metrics_lib.evaluation(est, gt, mask)
+            per_scene[s] = r
+            for k, v in r.items():
+                eval_results[k] = eval_results.get(k, 0.0) + v
+            if workspace is not None:
+                workspace.log(f"Evaluated {s}: {r}", mode)
+        for k in eval_results:
+            eval_results[k] /= max(len(self.scenes), 1)
+        if mode == "test":
+            return eval_results, per_scene
+        return eval_results
+
+    def evaluate_semantics(self, mode="train", workspace=None):
+        """Semantic metrics over observed voxels
+        (reference modules/database.py:311-349)."""
+        eval_results: Dict[str, float] = {}
+        per_scene = {}
+        for s in self.scenes:
+            if not self.state[s] or s not in self.ids_gt:
+                continue
+            est = self._crop(self.volumes[s].semantics, s)
+            gt = self._crop(self.ids_gt[s], s)
+            mask = self._crop(self.volumes[s].weights, s) > 0
+            r, cls_iou = metrics_lib.semantic_evaluation(est, gt, mask,
+                                                         self.n_classes)
+            per_scene[s] = cls_iou
+            for k, v in r.items():
+                eval_results[k] = eval_results.get(k, 0.0) + v
+            if workspace is not None:
+                workspace.log(f"Evaluated semantics {s}: {r}", mode)
+        for k in eval_results:
+            eval_results[k] /= max(len(self.scenes), 1)
+        return eval_results, per_scene
