@@ -1,0 +1,325 @@
+"""Pipeline: per-frame orchestration of segment -> extract -> fuse -> integrate.
+
+TPU-native re-design of the reference Pipeline (reference
+modules/pipeline.py:12-363). The reference walks each frame through four
+Python modules with host<->device copies between them; here the entire
+per-frame computation -- optional AdapNet++ segmentation forward, ray
+extraction, FusionNet forward, loss-target preparation and volume
+integration -- is ONE jitted XLA program with the scene volume donated in
+HBM. The training variant exposes a value_and_grad-ready loss with gradients
+flowing only through the current frame's FusionNet forward (truncated BPTT
+of length 1: the carried volume is stop_gradient'ed, matching the
+reference's .detach() at modules/pipeline.py:360-361).
+
+Shapes are static: invalid pixels are masked (weight-0 scatter lanes), not
+filtered (the reference's dynamic ``valid`` indexing at
+modules/pipeline.py:145-153 breaks XLA).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.fusionnet import build_fusion_net
+from ..ops import geometry
+from ..ops import integrate as integ
+from .volume import SceneVolume
+
+__all__ = ["Pipeline", "FusionOutput"]
+
+
+class FusionOutput(NamedTuple):
+    """Loss-ready outputs (reference modules/pipeline.py:130-135)."""
+    tsdf_est: jnp.ndarray     # (1, h*w, n_points)
+    tsdf_fused: jnp.ndarray   # (1, h*w, n_points)
+    tsdf_target: jnp.ndarray  # (1, h*w, n_points)
+    mask: jnp.ndarray         # (1, h*w) valid-ray mask
+
+
+def _prepare_fusion_input(depth, values: geometry.ExtractedValues,
+                          sem_ids, n_points: int, n_classes: int,
+                          use_semantics: bool) -> Dict[str, jnp.ndarray]:
+    """Pack network inputs NHWC (reference modules/pipeline.py:74-102)."""
+    h, w = depth.shape
+    inputs = {
+        "tsdf_values": values.fusion_values.reshape(1, h, w, n_points),
+        "tsdf_weights": values.fusion_weights.reshape(1, h, w, n_points),
+        "tsdf_frame": depth.reshape(1, h, w, 1),
+    }
+    if use_semantics:
+        sem = (1.0 + sem_ids.astype(jnp.float32)) / n_classes  # (0, 1]
+        inputs["semantic_frame"] = sem.reshape(1, h, w, 1)
+    return inputs
+
+
+def _fused_for_loss(values: geometry.ExtractedValues, tsdf_est,
+                    init_value: float):
+    """Moving-average fusion used as the learning target transform
+    (reference modules/pipeline.py:104-116)."""
+    n = tsdf_est.shape[-1]
+    tsdf_old = values.fusion_values[None, :, :n]
+    weights = values.fusion_weights[None, :, :n]
+    weights = jnp.maximum(weights, 0.0)
+    tsdf_new = jnp.clip(tsdf_est, -init_value, init_value)
+    return (weights * tsdf_old + tsdf_new) / (weights + 1.0)
+
+
+class Pipeline:
+    """Builds the fusion net (+ optional 2D segmentation net) and exposes
+    jitted per-frame steps. Mirrors the reference constructor selection
+    (modules/pipeline.py:27-40)."""
+
+    def __init__(self, config, segmenter=None):
+        self.config = config
+        self.n_points = int(config.FUSION_MODEL.n_points)
+        self.n_tail_points = int(config.FUSION_MODEL.n_tail_points)
+        self.init_value = float(config.DATA.init_value)
+        self.use_semantics = bool(config.FUSION_MODEL.use_semantics)
+        self.semantics = bool(config.DATA.get("semantics"))
+        self.semantic_strategy = config.DATA.get("semantic_strategy", "gt")
+        self.n_classes = int(config.SEMANTIC_2D_MODEL.n_classes) \
+            if self.semantics else 0
+
+        self.fusion_net = build_fusion_net(config.FUSION_MODEL)
+        # segmenter: optional object with .apply_fn(params, image, depth)
+        # -> (h, w, C) logits, used when semantic_strategy == 'predict'
+        self.segmenter = segmenter
+
+    # -- parameter init -------------------------------------------------------
+
+    def init_fusion_params(self, rng, h: int, w: int):
+        dummy = {
+            "tsdf_values": jnp.zeros((1, h, w, self.n_points)),
+            "tsdf_weights": jnp.zeros((1, h, w, self.n_points)),
+            "tsdf_frame": jnp.zeros((1, h, w, 1)),
+        }
+        if self.use_semantics:
+            dummy["semantic_frame"] = jnp.zeros((1, h, w, 1))
+        variables = self.fusion_net.init(rng, dummy, train=False)
+        return variables["params"], variables.get("batch_stats", {})
+
+    # -- shared core ----------------------------------------------------------
+
+    def _network_estimate(self, params, batch_stats, inputs, train, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        if train:
+            out, mutated = self.fusion_net.apply(
+                variables, inputs, train=True,
+                rngs={"dropout": rng} if rng is not None else None,
+                mutable=["batch_stats"])
+            new_stats = mutated["batch_stats"]
+        else:
+            out = self.fusion_net.apply(variables, inputs, train=False)
+            new_stats = batch_stats
+        # NHWC (1,h,w,n_points) -> (1, h*w, n_points)
+        b, h, w, c = out.shape
+        est = out[..., : self.n_points].reshape(b, h * w, self.n_points)
+        return est, new_stats
+
+    def _predict_semantics(self, seg_params, image, depth):
+        """2D segmentation forward + winner (reference
+        modules/pipeline.py:42-60, 181-185)."""
+        logits = self.segmenter.apply_fn(seg_params, image, depth)
+        probs = jax.nn.softmax(logits, axis=-1)
+        scores = jnp.max(probs, axis=-1)
+        ids = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+        return ids.reshape(-1), scores.reshape(-1)
+
+    def _extract(self, depth, extrinsics, intrinsics, volume_arr, weights,
+                 origin, resolution):
+        return geometry.extract(depth, extrinsics, intrinsics, volume_arr,
+                                weights, origin, resolution,
+                                n_points=self.n_points)
+
+    def _volume_update_args(self, values: geometry.ExtractedValues,
+                            tsdf_est, filtered_depth):
+        """Static-shape analogue of _prepare_volume_update (reference
+        modules/pipeline.py:137-171): first n_tail_points of each ray,
+        rays masked by depth != 0."""
+        t = self.n_tail_points
+        upd_values = jnp.clip(tsdf_est[0, :, :t], -self.init_value,
+                              self.init_value)
+        upd_indices = values.indices[:, :t]
+        upd_weights = values.weights[:, :t]
+        ray_mask = filtered_depth.reshape(-1) != 0.0
+        return upd_values, upd_indices, upd_weights, ray_mask
+
+    # -- jitted steps -----------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
+    def _step_fuse(self, params_and_stats, volume: SceneVolume,
+                   frame: Dict[str, jnp.ndarray],
+                   seg_params) -> SceneVolume:
+        """Inference step (reference Pipeline.fuse,
+        modules/pipeline.py:173-248): integrates TSDF and, when semantics
+        are on, the label/score volumes."""
+        params, batch_stats = params_and_stats
+        depth = frame["depth"]
+        filtered = jnp.where(frame["mask"], depth, 0.0)
+
+        if self.semantics:
+            if self.semantic_strategy == "predict":
+                sem_ids, scores = self._predict_semantics(
+                    seg_params, frame["image"], frame["depth_input"])
+            else:
+                sem_ids = frame["semantic_gt"].reshape(-1).astype(jnp.uint8)
+                scores = jnp.ones_like(sem_ids, jnp.float32)
+        else:
+            sem_ids = scores = None
+
+        values = self._extract(depth, frame["extrinsics"],
+                               frame["intrinsics"], volume.tsdf,
+                               volume.weights, volume.origin,
+                               volume.resolution)
+        sem_img = (sem_ids.reshape(depth.shape)
+                   if self.use_semantics else None)
+        inputs = _prepare_fusion_input(depth, values, sem_img,
+                                       self.n_points, self.n_classes,
+                                       self.use_semantics)
+        tsdf_est, _ = self._network_estimate(params, batch_stats, inputs,
+                                             train=False, rng=None)
+        upd_values, upd_indices, upd_weights, ray_mask = \
+            self._volume_update_args(values, tsdf_est, filtered)
+
+        new_tsdf, new_w = integ.integrate_tsdf(
+            volume.tsdf, volume.weights, upd_values, upd_indices,
+            upd_weights, ray_mask)
+        if self.semantics:
+            new_ids, new_scores = integ.integrate_semantics(
+                volume.semantics, volume.scores, sem_ids, scores,
+                upd_indices, ray_mask)
+        else:
+            new_ids, new_scores = volume.semantics, volume.scores
+        return SceneVolume(tsdf=new_tsdf, weights=new_w, semantics=new_ids,
+                           scores=new_scores, origin=volume.origin,
+                           resolution=volume.resolution)
+
+    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(3,))
+    def _step_train(self, params, batch_stats, volume: SceneVolume,
+                    gt_tsdf, frame, seg_params, rng
+                    ) -> Tuple[jnp.ndarray, Any, SceneVolume, Any]:
+        """Training step (reference Pipeline.fuse_training,
+        modules/pipeline.py:251-363 + train_fusion.py:166-175): returns
+        (loss, grads, new_volume, new_batch_stats). The volume update is
+        detached from the autodiff trace (truncated BPTT length 1)."""
+        depth = frame["depth"]
+        filtered = jnp.where(frame["mask"], depth, 0.0)
+
+        if self.semantics:
+            if self.semantic_strategy == "predict":
+                sem_ids, scores = self._predict_semantics(
+                    seg_params, frame["image"], frame["depth_input"])
+                sem_ids = jax.lax.stop_gradient(sem_ids)
+                scores = jax.lax.stop_gradient(scores)
+            else:
+                sem_ids = frame["semantic_gt"].reshape(-1).astype(jnp.uint8)
+                scores = jnp.ones_like(sem_ids, jnp.float32)
+        else:
+            sem_ids = scores = None
+
+        values = self._extract(depth, frame["extrinsics"],
+                               frame["intrinsics"], volume.tsdf,
+                               volume.weights, volume.origin,
+                               volume.resolution)
+        values_gt = self._extract(depth, frame["extrinsics"],
+                                  frame["intrinsics"], gt_tsdf,
+                                  volume.weights, volume.origin,
+                                  volume.resolution)
+        sem_img = (sem_ids.reshape(depth.shape)
+                   if self.use_semantics else None)
+        inputs = _prepare_fusion_input(depth, values, sem_img,
+                                       self.n_points, self.n_classes,
+                                       self.use_semantics)
+        ray_mask = filtered.reshape(-1) != 0.0
+
+        from ..utils.losses import fusion_loss
+        loss_cfg = self.config.TRAINING.loss
+
+        def loss_fn(p):
+            tsdf_est, new_stats = self._network_estimate(
+                p, batch_stats, inputs, train=True, rng=rng)
+            tsdf_fused = _fused_for_loss(values, tsdf_est, self.init_value)
+            tsdf_target = values_gt.fusion_values[None, :, : self.n_points]
+            loss = fusion_loss(tsdf_fused, tsdf_target, ray_mask[None],
+                               w_l1=float(loss_cfg.w_l1),
+                               w_l2=float(loss_cfg.w_l2),
+                               w_cos=float(loss_cfg.w_cos))
+            return loss, (tsdf_est, new_stats)
+
+        (loss, (tsdf_est, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+
+        # integrate detached estimates (reference .detach() write-back,
+        # modules/pipeline.py:360-361; semantics not updated during training
+        # for speed, modules/pipeline.py:350-357 test=False)
+        tsdf_est = jax.lax.stop_gradient(tsdf_est)
+        upd_values, upd_indices, upd_weights, ray_mask2 = \
+            self._volume_update_args(values, tsdf_est, filtered)
+        new_tsdf, new_w = integ.integrate_tsdf(
+            volume.tsdf, volume.weights, upd_values, upd_indices,
+            upd_weights, ray_mask2)
+        new_volume = SceneVolume(tsdf=new_tsdf, weights=new_w,
+                                 semantics=volume.semantics,
+                                 scores=volume.scores,
+                                 origin=volume.origin,
+                                 resolution=volume.resolution)
+        return loss, grads, new_volume, new_stats
+
+    # -- host-facing API (reference signatures) ---------------------------------
+
+    @staticmethod
+    def _frame_from_batch(batch, input_key: str):
+        """Host batch dict (leading batch dim 1) -> device frame dict."""
+        def squeeze(x):
+            x = jnp.asarray(x)
+            return x[0] if x.ndim and x.shape[0] == 1 else x
+
+        frame = {
+            "depth": squeeze(batch[input_key]).astype(jnp.float32),
+            "extrinsics": squeeze(batch["extrinsics"]).astype(jnp.float32),
+            "intrinsics": squeeze(batch["intrinsics"]).astype(jnp.float32),
+            "mask": squeeze(batch["mask"]),
+        }
+        if "image" in batch:
+            frame["image"] = squeeze(batch["image"]).astype(jnp.float32)
+            frame["depth_input"] = frame["depth"]
+        if "semantic_gt" in batch:
+            frame["semantic_gt"] = squeeze(batch["semantic_gt"])
+        return frame
+
+    def fuse(self, batch, database, params, batch_stats, seg_params=None):
+        """Online inference on one frame; updates the database in place
+        (reference Pipeline.fuse, modules/pipeline.py:173-248)."""
+        scene_id = self._scene_of(batch)
+        frame = self._frame_from_batch(batch, self.config.DATA.input)
+        volume = database.volumes[scene_id]
+        new_volume = self._step_fuse((params, batch_stats), volume, frame,
+                                     seg_params)
+        database.update(scene_id, new_volume)
+
+    def fuse_training(self, batch, database, params, batch_stats,
+                      seg_params=None, rng=None):
+        """One training frame: returns (loss, grads, new_batch_stats) and
+        updates the database (reference Pipeline.fuse_training,
+        modules/pipeline.py:251-363)."""
+        scene_id = self._scene_of(batch)
+        frame = self._frame_from_batch(batch, self.config.DATA.input)
+        volume = database.volumes[scene_id]
+        gt = database.scenes_gt[scene_id]
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        loss, grads, new_volume, new_stats = self._step_train(
+            params, batch_stats, volume, gt, frame, seg_params, rng)
+        database.update(scene_id, new_volume)
+        return loss, grads, new_stats
+
+    @staticmethod
+    def _scene_of(batch) -> str:
+        fid = batch["frame_id"]
+        if isinstance(fid, (list, tuple)):
+            fid = fid[0]
+        return str(fid).rsplit("/", 1)[0]
