@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Benchmark: online joint depth-fusion + semantics throughput at 256x256.
+
+Measures the flagship per-frame pipeline step -- extraction (9-point
+trilinear ray sampling), FusionNet v3 with semantic head (growth_factor 6,
+the paper's accuracy model, reference configs/fusion/replica_accuracy.yaml),
+TSDF scatter integration AND semantic label/score volume integration -- as
+ONE jitted XLA program over a device-resident 1cm-voxel scene volume, on one
+TPU chip.
+
+Baseline: the reference runs this config at 10 fps on a CPU+GPU split
+(README.md:6, 256x256 joint fusion+semantics). The driver's north star is
+>=37 fps (the reference's 128x128 no-semantics speed-model figure, demanded
+here at 256x256 WITH semantics). vs_baseline = fps / 10.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from segfusion_tpu.config import Config, _DEFAULTS, _merge_defaults
+    from segfusion_tpu.core.pipeline import Pipeline
+    from segfusion_tpu.core.volume import init_scene_volume
+    from segfusion_tpu.data.synthetic import SyntheticScene
+
+    h = w = 256
+    cfg = _merge_defaults(Config({}), _DEFAULTS)
+    cfg.DATA.resx = w
+    cfg.DATA.resy = h
+    cfg.DATA.init_value = 0.1
+    cfg.DATA.semantics = "class30"
+    cfg.DATA.semantic_strategy = "gt"   # per-pixel labels ride the update
+    cfg.FUSION_MODEL.name = "v3"
+    cfg.FUSION_MODEL.n_points = 9
+    cfg.FUSION_MODEL.n_tail_points = 7
+    cfg.FUSION_MODEL.growth_factor = 6  # accuracy model
+    cfg.FUSION_MODEL.use_semantics = True
+    cfg.SEMANTIC_2D_MODEL.n_classes = 30
+
+    pipe = Pipeline(cfg)
+    params, stats = pipe.init_fusion_params(jax.random.PRNGKey(0), h, w)
+
+    # Replica-room-scale volume: ~4.5m box at 1cm voxels
+    scene = SyntheticScene(seed=0, half=2.2)
+    resolution = 0.01
+    vshape = (448, 448, 448)
+    origin = np.array([-2.24, -2.24, -2.24], np.float32)
+    volume = init_scene_volume(vshape, origin, resolution,
+                               cfg.DATA.init_value)
+
+    # pre-render a short trajectory at the bench resolution
+    from segfusion_tpu.ops.raycast import render_depth
+    coarse, _ = scene.grid(0.04, 10.0, pad=2)
+    f = 0.5 * w
+    intr = jnp.asarray([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]],
+                       jnp.float32)
+    poses = scene.camera_poses(8)
+    gvol = jnp.asarray(coarse.volume)
+    gorg = jnp.asarray(coarse.origin)
+    frames = []
+    for p in poses:
+        d = render_depth(gvol, jnp.asarray(p), intr, gorg,
+                         coarse.resolution, h, w, near=0.05, far=9.0,
+                         n_steps=256)
+        sem = (jnp.clip(d * 7.0, 0, 29)).astype(jnp.uint8)
+        frames.append({
+            "depth": d,
+            "extrinsics": jnp.asarray(p),
+            "intrinsics": intr,
+            "mask": d > 0,
+            "semantic_gt": sem,
+        })
+    frames = jax.device_put(frames)
+
+    def run_frame(vol, frame):
+        return pipe._step_fuse((params, stats), vol, frame, None)
+
+    # NOTE: on the tunneled axon backend block_until_ready does not
+    # synchronize; force completion with a scalar reduction + 4-byte
+    # readback that depends on the whole chain.
+    sum_w = jax.jit(lambda v: jnp.sum(v.weights))
+
+    # warmup / compile
+    volume = run_frame(volume, frames[0])
+    float(sum_w(volume))
+
+    n_iters = 60
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        volume = run_frame(volume, frames[i % len(frames)])
+    float(sum_w(volume))
+    dt = time.perf_counter() - t0
+    fps = n_iters / dt
+
+    print(json.dumps({
+        "metric": "joint fusion+semantics throughput, 256x256 depth, "
+                  "FusionNet v3 gf6 + 448^3 1cm volume, 1 TPU chip",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 10.0, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

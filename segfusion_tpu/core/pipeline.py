@@ -150,13 +150,13 @@ class Pipeline:
 
     # -- jitted steps -----------------------------------------------------------
 
-    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
-    def _step_fuse(self, params_and_stats, volume: SceneVolume,
-                   frame: Dict[str, jnp.ndarray],
-                   seg_params) -> SceneVolume:
-        """Inference step (reference Pipeline.fuse,
-        modules/pipeline.py:173-248): integrates TSDF and, when semantics
-        are on, the label/score volumes."""
+    def step_fuse_impl(self, params_and_stats, volume: SceneVolume,
+                       frame: Dict[str, jnp.ndarray],
+                       seg_params) -> SceneVolume:
+        """Inference step, un-jitted (composable under vmap / shard_map /
+        scan). Reference Pipeline.fuse (modules/pipeline.py:173-248):
+        integrates TSDF and, when semantics are on, the label/score
+        volumes."""
         params, batch_stats = params_and_stats
         depth = frame["depth"]
         filtered = jnp.where(frame["mask"], depth, 0.0)
@@ -198,11 +198,10 @@ class Pipeline:
                            scores=new_scores, origin=volume.origin,
                            resolution=volume.resolution)
 
-    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(3,))
-    def _step_train(self, params, batch_stats, volume: SceneVolume,
-                    gt_tsdf, frame, seg_params, rng
-                    ) -> Tuple[jnp.ndarray, Any, SceneVolume, Any]:
-        """Training step (reference Pipeline.fuse_training,
+    def step_train_impl(self, params, batch_stats, volume: SceneVolume,
+                        gt_tsdf, frame, seg_params, rng
+                        ) -> Tuple[jnp.ndarray, Any, SceneVolume, Any]:
+        """Training step, un-jitted (reference Pipeline.fuse_training,
         modules/pipeline.py:251-363 + train_fusion.py:166-175): returns
         (loss, grads, new_volume, new_batch_stats). The volume update is
         detached from the autodiff trace (truncated BPTT length 1)."""
@@ -268,6 +267,13 @@ class Pipeline:
                                  origin=volume.origin,
                                  resolution=volume.resolution)
         return loss, grads, new_volume, new_stats
+
+    # jitted entry points with donated volume buffers (the in-place HBM
+    # update; self is a static arg -- one cache entry per Pipeline)
+    _step_fuse = functools.partial(jax.jit, static_argnums=(0,),
+                                   donate_argnums=(2,))(step_fuse_impl)
+    _step_train = functools.partial(jax.jit, static_argnums=(0,),
+                                    donate_argnums=(3,))(step_train_impl)
 
     # -- host-facing API (reference signatures) ---------------------------------
 

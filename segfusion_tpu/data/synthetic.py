@@ -61,12 +61,17 @@ class SyntheticScene:
         s_box = _box_sdf(pts, self.box_c, self.box_h)
         return np.minimum(np.minimum(s_room, s_sph), s_box)
 
-    def labels(self, pts: np.ndarray) -> np.ndarray:
+    def surface_labels(self, pts: np.ndarray) -> np.ndarray:
+        """Nearest-part label regardless of sign -- for labeling rendered
+        surface points, which sit epsilon on either side of the zero set."""
         s_room = _room_sdf(pts, self.half)
         s_sph = _sphere_sdf(pts, self.sphere_c, self.sphere_r)
         s_box = _box_sdf(pts, self.box_c, self.box_h)
         stack = np.stack([s_room, s_sph, s_box], axis=-1)
-        lab = np.argmin(stack, axis=-1).astype(np.uint8) + 1
+        return (np.argmin(stack, axis=-1) + 1).astype(np.uint8)
+
+    def labels(self, pts: np.ndarray) -> np.ndarray:
+        lab = self.surface_labels(pts)
         return np.where(self.sdf(pts) > 0, 0, lab).astype(np.uint8)
 
     def grid(self, resolution: float, truncation: float,
@@ -185,7 +190,7 @@ class Synthetic:
         import jax.numpy as jnp
         pts = np.asarray(unproject(jnp.asarray(depth_gt), jnp.asarray(pose),
                                    jnp.asarray(self.intrinsics)))
-        sem = scene.labels(pts).reshape(depth_gt.shape)
+        sem = scene.surface_labels(pts).reshape(depth_gt.shape)
         sem = np.where(mask, sem, 0).astype(np.uint8)
 
         gray = np.clip(1.0 - depth_gt / (4.0 * scene.half), 0, 1)

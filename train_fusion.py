@@ -1,0 +1,214 @@
+#!/usr/bin/env python
+"""Online-fusion training CLI.
+
+Usage: python train_fusion.py --config configs/fusion/<name>.yaml [--comment]
+
+Re-implements the reference harness (reference train_fusion.py:35-256) on the
+TPU-native pipeline: per-frame fuse_training steps with gradient accumulation
+(optax.MultiSteps), global-norm clipping, poly LR schedule, trajectory /
+random volume resets, periodic train/val evaluation with best/last
+checkpoints and TensorBoard scalars.
+"""
+
+import argparse
+import random
+
+import numpy as np
+
+
+def arg_parser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--comment", type=str, default="")
+    return vars(parser.parse_args())
+
+
+def train_fusion(args, config):
+    import jax
+    import optax
+
+    from segfusion_tpu.config import get_data_config
+    from segfusion_tpu.core.database import Database
+    from segfusion_tpu.core.pipeline import Pipeline
+    from segfusion_tpu.data import PrefetchLoader, get_data
+    from segfusion_tpu.models.adapnet import SegmenterAdapter, build_adapnet
+    from segfusion_tpu.utils import checkpoints as ckpt_lib
+    from segfusion_tpu.utils.optim import get_optimizer
+    from segfusion_tpu.utils.schedulers import get_schedule
+    from segfusion_tpu.utils.workspace import get_workspace
+
+    seed = int(config.SETTINGS.seed or 0)
+    random.seed(seed)
+    np.random.seed(seed)
+    rng = jax.random.PRNGKey(seed)
+
+    workspace = get_workspace(config)
+    workspace.log(f"comment: {args.get('comment', '')}", "train")
+
+    train_cfg = get_data_config(config, "train")
+    val_cfg = get_data_config(config, "val")
+    train_dataset = get_data(config.DATA.dataset, train_cfg)
+    val_dataset = get_data(config.DATA.dataset, val_cfg)
+    train_loader = PrefetchLoader(train_dataset,
+                                  batch_size=config.TRAINING.train_batch_size,
+                                  shuffle=config.TRAINING.train_shuffle,
+                                  num_workers=config.SETTINGS.num_workers,
+                                  seed=seed)
+    val_loader = PrefetchLoader(val_dataset,
+                                batch_size=config.TRAINING.val_batch_size,
+                                shuffle=config.TRAINING.val_shuffle,
+                                num_workers=config.SETTINGS.num_workers)
+
+    train_database = Database(train_dataset, train_cfg)
+    val_database = Database(val_dataset, val_cfg)
+
+    # segmentation network for semantic_strategy == 'predict'
+    segmenter = None
+    seg_params = None
+    if config.DATA.semantics and config.DATA.semantic_strategy == "predict":
+        seg_model = build_adapnet(config.SEMANTIC_2D_MODEL)
+        segmenter = SegmenterAdapter(seg_model, config.DATA.input)
+        seg_ckpt = ckpt_lib.load_checkpoint(
+            config.TESTING.semantic_2d_model_path)
+        seg_params = (seg_ckpt["params"], seg_ckpt.get("batch_stats", {}))
+
+    pipeline = Pipeline(config, segmenter=segmenter)
+    rng, init_rng = jax.random.split(rng)
+    params, batch_stats = pipeline.init_fusion_params(
+        init_rng, int(config.DATA.resy), int(config.DATA.resx))
+    if config.FUSION_MODEL.pretrained:
+        pre = ckpt_lib.load_checkpoint(config.FUSION_MODEL.pretrained)
+        params = ckpt_lib.restore_into(params, pre["params"])
+        batch_stats = ckpt_lib.restore_into(batch_stats,
+                                            pre.get("batch_stats",
+                                                    batch_stats))
+
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree_util.tree_leaves(params))
+    workspace.log(f"Fusion Parameters: {n_params}", "train")
+
+    # optimizer: clip -> optimizer(schedule), accumulated over k steps
+    # (reference train_fusion.py:182-189)
+    schedule = get_schedule(float(config.TRAINING.optimizer.lr),
+                            config.TRAINING.scheduler)
+    tx = get_optimizer(config.TRAINING.optimizer, learning_rate=schedule)
+    if config.TRAINING.optimization.clipping:
+        tx = optax.chain(optax.clip_by_global_norm(1.0), tx)
+    accum = int(config.TRAINING.optimization.accumulation_steps or 1)
+    if accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def apply_updates(params, opt_state, grads):
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    start_epoch = 0
+    best_iou = 0.0
+    if config.TRAINING.resume:
+        ck = ckpt_lib.load_checkpoint(config.TRAINING.resume)
+        params = ckpt_lib.restore_into(params, ck["params"])
+        batch_stats = ckpt_lib.restore_into(batch_stats, ck["batch_stats"])
+        opt_state = ckpt_lib.restore_into(opt_state, ck["opt_state"])
+        start_epoch = int(ck.get("epoch", 0))
+        best_iou = float(ck.get("best_iou", 0.0))
+        workspace.log(f"resumed from {config.TRAINING.resume} "
+                      f"at epoch {start_epoch}", "train")
+
+    n_batches = len(train_loader)
+    eval_freq = int(config.SETTINGS.eval_freq)
+    log_freq = int(config.SETTINGS.log_freq)
+    reset_cfg = config.TRAINING.optimization
+
+    for epoch in range(start_epoch, int(config.TRAINING.n_epochs)):
+        workspace.log(
+            f"Training epoch {epoch}/{config.TRAINING.n_epochs}", "train")
+        train_database.reset()
+        val_database.reset()
+        train_loss = 0.0
+
+        for i, batch in enumerate(train_loader):
+            if not np.all(np.isfinite(np.asarray(batch["extrinsics"]))):
+                continue
+
+            frame_id = batch["frame_id"][0]
+            scene_id = frame_id.rsplit("/", 1)[0]
+            # new-trajectory reset under hybrid loading
+            # (reference train_fusion.py:154-157)
+            if (frame_id.rsplit("/", 1)[-1] == "0"
+                    and config.DATA.data_load_strategy == "hybrid"):
+                workspace.log(f"Resetting grid for scene {scene_id} "
+                              f"at step {i}", "train")
+                train_database.reset(scene_id)
+            # random reset (reference train_fusion.py:159-163)
+            if reset_cfg.reset_strategy and \
+                    np.random.random_sample() <= reset_cfg.reset_prob:
+                workspace.log(f"Random reset of scene {scene_id} "
+                              f"at step {i}", "train")
+                train_database.reset(scene_id)
+
+            rng, step_rng = jax.random.split(rng)
+            loss, grads, batch_stats = pipeline.fuse_training(
+                batch, train_database, params, batch_stats,
+                seg_params=seg_params, rng=step_rng)
+            params, opt_state = apply_updates(params, opt_state, grads)
+            train_loss += float(loss)
+
+            if (i + 1) % log_freq == 0:
+                workspace.add_scalar("Train/loss", train_loss / log_freq,
+                                     i + 1 + epoch * n_batches)
+                workspace.log(f"step {i + 1}: loss "
+                              f"{train_loss / log_freq:.6f}", "train")
+                train_loss = 0.0
+
+            if (i + 1) % eval_freq == 0 or i == n_batches - 1:
+                step = i + 1 + epoch * n_batches
+                train_eval = train_database.evaluate("train", workspace)
+                for k in ("mse", "acc", "iou", "mad"):
+                    workspace.add_scalar(f"Train/{k}", train_eval.get(k, 0),
+                                         step)
+
+                val_database.reset()
+                for vbatch in val_loader:
+                    if not np.all(np.isfinite(
+                            np.asarray(vbatch["extrinsics"]))):
+                        continue
+                    pipeline.fuse(vbatch, val_database, params, batch_stats,
+                                  seg_params=seg_params)
+                val_database.filter(value=0.5)
+                val_eval = val_database.evaluate("val", workspace)
+                for k in ("mse", "acc", "iou", "mad"):
+                    workspace.add_scalar(f"Val/{k}", val_eval.get(k, 0),
+                                         step)
+
+                score = (val_eval.get("iou", 0) + val_eval.get("acc", 0)) / 2
+                if score >= best_iou:
+                    best_iou = score
+                    workspace.log(f"Found new best model with score "
+                                  f"{best_iou:.4f} at epoch {epoch}", "val")
+                    val_database.save_to_workspace(
+                        workspace, mode="best_val",
+                        save_mode=config.SETTINGS.save_mode)
+                    workspace.save_model_state(
+                        {"epoch": epoch + 1, "params": params,
+                         "batch_stats": batch_stats, "best_iou": best_iou},
+                        is_best=True)
+
+                val_database.save_to_workspace(
+                    workspace, mode="latest_val",
+                    save_mode=config.SETTINGS.save_mode)
+                workspace.save_model_state(
+                    {"epoch": epoch + 1, "params": params,
+                     "batch_stats": batch_stats, "opt_state": opt_state,
+                     "best_iou": best_iou},
+                    is_best=False)
+
+    return params, batch_stats
+
+
+if __name__ == "__main__":
+    args = arg_parser()
+    from segfusion_tpu.config import load_config
+    config = load_config(args["config"])
+    train_fusion(args, config)
