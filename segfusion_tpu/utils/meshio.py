@@ -15,7 +15,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["write_ply", "read_ply", "write_off", "write_obj"]
+__all__ = ["write_ply", "read_ply", "write_off", "read_off", "write_obj"]
 
 
 def write_ply(path: str, vertices: np.ndarray, faces: np.ndarray,
@@ -136,6 +136,34 @@ def write_off(path: str, vertices: np.ndarray, faces: np.ndarray):
             f.write(f"{v[0]} {v[1]} {v[2]}\n")
         for face in np.asarray(faces):
             f.write(f"3 {face[0]} {face[1]} {face[2]}\n")
+
+
+def read_off(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """OFF reader (reference deps/mesh-fusion/common.py mesh IO)."""
+    with open(path) as f:
+        tokens: list = []
+        first = f.readline().strip()
+        if first != "OFF":
+            if first.startswith("OFF"):  # header glued to counts
+                tokens.extend(first[3:].split())
+            else:
+                raise ValueError("not an OFF file")
+        for line in f:
+            line = line.split("#")[0].strip()
+            if line:
+                tokens.extend(line.split())
+    nv, nf = int(tokens[0]), int(tokens[1])
+    pos = 3
+    verts = np.array(tokens[pos:pos + 3 * nv], np.float32).reshape(nv, 3)
+    pos += 3 * nv
+    faces = []
+    for _ in range(nf):
+        k = int(tokens[pos])
+        face = [int(t) for t in tokens[pos + 1:pos + 1 + k]]
+        pos += 1 + k
+        for i in range(1, k - 1):  # fan-triangulate polygons
+            faces.append([face[0], face[i], face[i + 1]])
+    return verts, np.asarray(faces, np.int32)
 
 
 def write_obj(path: str, vertices: np.ndarray, faces: np.ndarray):
