@@ -128,27 +128,31 @@ class Database:
 
     def filter(self, value: float = 2.0):
         """Outlier removal: voxels with weight < value are reinitialised
-        (reference modules/database.py:108-112)."""
+        (reference modules/database.py:108-112). In accumulator form that
+        is simply zeroing (num, w)."""
         for s in self.scenes:
             v = self.volumes[s]
             keep = v.weights >= value
             self.volumes[s] = SceneVolume(
-                tsdf=jnp.where(keep, v.tsdf, self.initial_value),
+                num=jnp.where(keep, v.num, 0.0),
                 weights=jnp.where(keep, v.weights, 0.0),
-                semantics=v.semantics, scores=v.scores,
-                origin=v.origin, resolution=v.resolution)
+                semkey=v.semkey, origin=v.origin, resolution=v.resolution,
+                init_value=v.init_value)
 
     def filter_semantics(self, size: int = 5):
         """3D median filter over the label volume
-        (reference modules/database.py:114-116)."""
-        from scipy.ndimage import median_filter
+        (reference modules/database.py:114-116). Runs on device
+        (ops.filters.median_filter3d); scores keep their packed values."""
+        from ..ops.filters import median_filter3d
+        from ..ops.integrate import pack_semantic_key
         for s in self.scenes:
             v = self.volumes[s]
-            ids = median_filter(np.asarray(v.semantics), size=size)
+            ids = median_filter3d(v.semantics, size=size)
+            new_key = pack_semantic_key(v.scores, ids)
             self.volumes[s] = SceneVolume(
-                tsdf=v.tsdf, weights=v.weights,
-                semantics=jnp.asarray(ids, jnp.uint8), scores=v.scores,
-                origin=v.origin, resolution=v.resolution)
+                num=v.num, weights=v.weights, semkey=new_key,
+                origin=v.origin, resolution=v.resolution,
+                init_value=v.init_value)
 
     # -- meshing / saving -------------------------------------------------------
 

@@ -129,11 +129,21 @@ class Pipeline:
         ids = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
         return ids.reshape(-1), scores.reshape(-1)
 
-    def _extract(self, depth, extrinsics, intrinsics, volume_arr, weights,
-                 origin, resolution):
-        return geometry.extract(depth, extrinsics, intrinsics, volume_arr,
-                                weights, origin, resolution,
-                                n_points=self.n_points)
+    def _extract(self, depth, extrinsics, intrinsics, volume: SceneVolume):
+        """Extraction over the accumulator state."""
+        return geometry.extract_numw(depth, extrinsics, intrinsics,
+                                     volume.num, volume.weights,
+                                     volume.origin, volume.resolution,
+                                     init_value=self.init_value,
+                                     n_points=self.n_points)
+
+    def _extract_gt(self, depth, extrinsics, intrinsics, gt_tsdf,
+                    volume: SceneVolume):
+        """GT extraction: explicit gt value volume + the estimate's weight
+        volume (reference modules/pipeline.py:309-315)."""
+        return geometry.extract(depth, extrinsics, intrinsics, gt_tsdf,
+                                volume.weights, volume.origin,
+                                volume.resolution, n_points=self.n_points)
 
     def _volume_update_args(self, values: geometry.ExtractedValues,
                             tsdf_est, filtered_depth):
@@ -172,9 +182,7 @@ class Pipeline:
             sem_ids = scores = None
 
         values = self._extract(depth, frame["extrinsics"],
-                               frame["intrinsics"], volume.tsdf,
-                               volume.weights, volume.origin,
-                               volume.resolution)
+                               frame["intrinsics"], volume)
         sem_img = (sem_ids.reshape(depth.shape)
                    if self.use_semantics else None)
         inputs = _prepare_fusion_input(depth, values, sem_img,
@@ -185,18 +193,18 @@ class Pipeline:
         upd_values, upd_indices, upd_weights, ray_mask = \
             self._volume_update_args(values, tsdf_est, filtered)
 
-        new_tsdf, new_w = integ.integrate_tsdf(
-            volume.tsdf, volume.weights, upd_values, upd_indices,
+        new_num, new_w = integ.integrate_numw(
+            volume.num, volume.weights, upd_values, upd_indices,
             upd_weights, ray_mask)
         if self.semantics:
-            new_ids, new_scores = integ.integrate_semantics(
-                volume.semantics, volume.scores, sem_ids, scores,
-                upd_indices, ray_mask)
+            new_key = integ.integrate_semkey(volume.semkey, sem_ids, scores,
+                                             upd_indices, ray_mask)
         else:
-            new_ids, new_scores = volume.semantics, volume.scores
-        return SceneVolume(tsdf=new_tsdf, weights=new_w, semantics=new_ids,
-                           scores=new_scores, origin=volume.origin,
-                           resolution=volume.resolution)
+            new_key = volume.semkey
+        return SceneVolume(num=new_num, weights=new_w, semkey=new_key,
+                           origin=volume.origin,
+                           resolution=volume.resolution,
+                           init_value=volume.init_value)
 
     def step_train_impl(self, params, batch_stats, volume: SceneVolume,
                         gt_tsdf, frame, seg_params, rng
@@ -221,13 +229,9 @@ class Pipeline:
             sem_ids = scores = None
 
         values = self._extract(depth, frame["extrinsics"],
-                               frame["intrinsics"], volume.tsdf,
-                               volume.weights, volume.origin,
-                               volume.resolution)
-        values_gt = self._extract(depth, frame["extrinsics"],
-                                  frame["intrinsics"], gt_tsdf,
-                                  volume.weights, volume.origin,
-                                  volume.resolution)
+                               frame["intrinsics"], volume)
+        values_gt = self._extract_gt(depth, frame["extrinsics"],
+                                     frame["intrinsics"], gt_tsdf, volume)
         sem_img = (sem_ids.reshape(depth.shape)
                    if self.use_semantics else None)
         inputs = _prepare_fusion_input(depth, values, sem_img,
@@ -258,14 +262,14 @@ class Pipeline:
         tsdf_est = jax.lax.stop_gradient(tsdf_est)
         upd_values, upd_indices, upd_weights, ray_mask2 = \
             self._volume_update_args(values, tsdf_est, filtered)
-        new_tsdf, new_w = integ.integrate_tsdf(
-            volume.tsdf, volume.weights, upd_values, upd_indices,
+        new_num, new_w = integ.integrate_numw(
+            volume.num, volume.weights, upd_values, upd_indices,
             upd_weights, ray_mask2)
-        new_volume = SceneVolume(tsdf=new_tsdf, weights=new_w,
-                                 semantics=volume.semantics,
-                                 scores=volume.scores,
+        new_volume = SceneVolume(num=new_num, weights=new_w,
+                                 semkey=volume.semkey,
                                  origin=volume.origin,
-                                 resolution=volume.resolution)
+                                 resolution=volume.resolution,
+                                 init_value=volume.init_value)
         return loss, grads, new_volume, new_stats
 
     # jitted entry points with donated volume buffers (the in-place HBM

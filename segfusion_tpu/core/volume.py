@@ -12,6 +12,7 @@ modules/integrator.py:79-88).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -67,39 +68,69 @@ class Voxelgrid:
         return np.asarray(indices) * self.resolution + self.origin[None, :]
 
 
-@jax.tree_util.register_dataclass
+@functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=("num", "weights", "semkey", "origin",
+                                "resolution"),
+                   meta_fields=("init_value",))
 @dataclasses.dataclass
 class SceneVolume:
     """Device-resident per-scene fusion state (a JAX pytree).
 
-    Fields mirror the reference Database's per-scene entries
-    (modules/database.py:81-103): ``tsdf`` is the running estimate
-    (init +init_value), ``weights`` the fusion weights (init 0),
-    ``semantics``/``scores`` the winner-takes-max label volume (init 0).
-    ``origin``/``resolution`` ride along as small arrays so the whole state
-    is one jittable pytree.
+    TPU-native accumulator representation: instead of the reference's
+    materialised (tsdf, weights, ids, scores) quadruple
+    (modules/database.py:81-103), the state stores
+
+      * ``num``    = sum of (weight * tsdf_update)  -- f32
+      * ``weights``= sum of weights                 -- f32
+      * ``semkey`` = packed monotonic (score, id)   -- int32
+
+    so per-frame integration is pure in-place scatter-adds / scatter-max
+    (see ops.integrate.integrate_numw) with zero full-volume passes. The
+    reference-visible views ``tsdf`` (= num/w, init_value where unobserved),
+    ``semantics`` and ``scores`` are materialised on access -- cheap at
+    eval/save boundaries, fused into the gather when inside jit.
     """
 
-    tsdf: jnp.ndarray          # (xs, ys, zs) float32
-    weights: jnp.ndarray       # (xs, ys, zs) float32
-    semantics: jnp.ndarray     # (xs, ys, zs) uint8
-    scores: jnp.ndarray        # (xs, ys, zs) float32
+    num: jnp.ndarray           # (xs, ys, zs) float32, sum(w * v)
+    weights: jnp.ndarray       # (xs, ys, zs) float32, sum(w)
+    semkey: jnp.ndarray        # (xs, ys, zs) int32 packed (score, id)
     origin: jnp.ndarray        # (3,) float32
     resolution: jnp.ndarray    # () float32
+    init_value: float = 0.1    # static: truncation band / unobserved value
 
     @property
     def shape(self):
-        return self.tsdf.shape
+        return self.num.shape
 
-    def reset(self, init_value: float) -> "SceneVolume":
+    @property
+    def tsdf(self) -> jnp.ndarray:
+        """Materialised TSDF estimate (reference 'current' volume)."""
+        w = self.weights
+        return jnp.where(w > 0, self.num / jnp.maximum(w, 1e-12),
+                         jnp.float32(self.init_value))
+
+    @property
+    def semantics(self) -> jnp.ndarray:
+        """Materialised uint8 label volume (reference 'ids_est')."""
+        from ..ops.integrate import unpack_semantic_key
+        return unpack_semantic_key(self.semkey)[1]
+
+    @property
+    def scores(self) -> jnp.ndarray:
+        """Materialised score volume (reference 'scores')."""
+        from ..ops.integrate import unpack_semantic_key
+        return unpack_semantic_key(self.semkey)[0]
+
+    def reset(self, init_value: float | None = None) -> "SceneVolume":
         """Fresh state, same geometry (reference modules/database.py:351-370)."""
         return SceneVolume(
-            tsdf=jnp.full_like(self.tsdf, init_value),
+            num=jnp.zeros_like(self.num),
             weights=jnp.zeros_like(self.weights),
-            semantics=jnp.zeros_like(self.semantics),
-            scores=jnp.zeros_like(self.scores),
+            semkey=jnp.zeros_like(self.semkey),
             origin=self.origin,
             resolution=self.resolution,
+            init_value=float(init_value if init_value is not None
+                             else self.init_value),
         )
 
 
@@ -111,10 +142,10 @@ def init_scene_volume(shape: Tuple[int, int, int], origin, resolution: float,
         return jax.device_put(x, device) if device is not None else x
 
     return SceneVolume(
-        tsdf=put(jnp.full(shape, init_value, jnp.float32)),
+        num=put(jnp.zeros(shape, jnp.float32)),
         weights=put(jnp.zeros(shape, jnp.float32)),
-        semantics=put(jnp.zeros(shape, jnp.uint8)),
-        scores=put(jnp.zeros(shape, jnp.float32)),
+        semkey=put(jnp.zeros(shape, jnp.int32)),
         origin=put(jnp.asarray(origin, jnp.float32)),
         resolution=put(jnp.asarray(resolution, jnp.float32)),
+        init_value=float(init_value),
     )

@@ -31,7 +31,9 @@ __all__ = [
     "sample_ray_points",
     "interpolation_weights",
     "trilinear_gather",
+    "trilinear_gather_numw",
     "extract",
+    "extract_numw",
     "ExtractedValues",
 ]
 
@@ -205,6 +207,35 @@ def trilinear_gather(points_v: jnp.ndarray, tsdf_volume: jnp.ndarray,
     return fusion_values, fusion_weights, indices, weights
 
 
+def trilinear_gather_numw(points_v: jnp.ndarray, num_volume: jnp.ndarray,
+                          weights_volume: jnp.ndarray, init_value: float,
+                          fill_value: float = INVALID_TSDF_FILL):
+    """Trilinear sampling from the accumulator state (num = sum w*v,
+    w = sum w; see core.volume.SceneVolume). Per corner the TSDF value is
+    materialised in-register as ``num/w`` (``init_value`` where unobserved,
+    ``fill_value`` out of bounds) -- numerically identical to gathering the
+    reference's explicit value volume (modules/extractor.py:640-681) while
+    the state itself never stores it.
+    """
+    shape = num_volume.shape
+    indices, weights = interpolation_weights(points_v)
+    valid = valid_index_mask(indices, shape)
+    safe = clamp_indices(indices, shape)
+    lin = _flatten_index(safe, shape)
+
+    num_corner = jnp.take(num_volume.reshape(-1), lin, axis=0)
+    w_corner = jnp.take(weights_volume.reshape(-1), lin, axis=0)
+    v_corner = jnp.where(w_corner > 0,
+                         num_corner / jnp.maximum(w_corner, 1e-12),
+                         jnp.float32(init_value))
+    v_corner = jnp.where(valid, v_corner, jnp.float32(fill_value))
+    w_corner = jnp.where(valid, w_corner, 0.0)
+
+    fusion_values = jnp.sum(v_corner * weights, axis=-1)
+    fusion_weights = jnp.sum(w_corner * weights, axis=-1)
+    return fusion_values, fusion_weights, indices, weights
+
+
 class ExtractedValues(NamedTuple):
     """Per-ray extraction result (reference modules/extractor.py:69-75)."""
     fusion_values: jnp.ndarray    # (h*w, n_points)
@@ -234,6 +265,31 @@ def extract(depth: jnp.ndarray, extrinsics: jnp.ndarray,
                                     n_points)
     fusion_values, fusion_weights, indices, weights = trilinear_gather(
         points_v, tsdf_volume, weights_volume)
+    return ExtractedValues(
+        fusion_values=fusion_values,
+        fusion_weights=fusion_weights,
+        points=points_v,
+        depth=depth.reshape(h * w),
+        indices=indices,
+        weights=weights,
+        pcl=points_w,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_points", "init_value"))
+def extract_numw(depth: jnp.ndarray, extrinsics: jnp.ndarray,
+                 intrinsics: jnp.ndarray, num_volume: jnp.ndarray,
+                 weights_volume: jnp.ndarray, origin: jnp.ndarray,
+                 resolution, init_value: float,
+                 n_points: int = 9) -> ExtractedValues:
+    """:func:`extract` over the accumulator scene state."""
+    h, w = depth.shape
+    points_w = unproject(depth, extrinsics, intrinsics)
+    eye_w = extrinsics[:3, 3].astype(jnp.float32)
+    points_v, _ = sample_ray_points(points_w, eye_w, origin, resolution,
+                                    n_points)
+    fusion_values, fusion_weights, indices, weights = trilinear_gather_numw(
+        points_v, num_volume, weights_volume, init_value)
     return ExtractedValues(
         fusion_values=fusion_values,
         fusion_weights=fusion_weights,

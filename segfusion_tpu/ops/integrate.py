@@ -42,6 +42,8 @@ from .geometry import clamp_indices, valid_index_mask, _flatten_index
 __all__ = [
     "integrate_tsdf",
     "integrate_semantics",
+    "integrate_numw",
+    "integrate_semkey",
     "integrate_frame",
     "pack_semantic_key",
     "unpack_semantic_key",
@@ -159,6 +161,58 @@ def integrate_semantics(semantics_volume: jnp.ndarray,
                                           mode="drop").reshape(shape)
     new_scores, new_ids = unpack_semantic_key(key)
     return new_ids, new_scores
+
+
+def integrate_numw(num_volume: jnp.ndarray, w_volume: jnp.ndarray,
+                   values: jnp.ndarray, indices: jnp.ndarray,
+                   weights: jnp.ndarray,
+                   mask: Optional[jnp.ndarray] = None):
+    """Accumulator-form TSDF integration: the scene state stores
+    (num = sum w*v, w = sum w) instead of (tsdf, w), so the running
+    weighted average v' = (w*v + dnum) / (w + dw) of the reference
+    (modules/integrator.py:77-88) reduces to two pure scatter-adds into the
+    donated state -- no zero-volume allocation, no full-volume combine
+    passes, no old-value re-gather. ``tsdf = num / w`` is materialised only
+    at read boundaries (extraction gathers, evaluation, saving).
+
+    Args/shapes as :func:`integrate_tsdf`. Returns (new_num, new_w).
+    """
+    shape = num_volume.shape
+    valid = valid_index_mask(indices, shape)
+    if mask is not None:
+        valid = valid & mask[:, None, None]
+    w = jnp.where(valid, weights.astype(jnp.float32), 0.0)
+    safe = clamp_indices(indices, shape)
+    lin = _flatten_index(safe, shape).reshape(-1)
+    w_flat = w.reshape(-1)
+    wv_flat = (w * values.astype(jnp.float32)[:, :, None]).reshape(-1)
+    new_w = w_volume.reshape(-1).at[lin].add(w_flat).reshape(shape)
+    new_num = num_volume.reshape(-1).at[lin].add(wv_flat).reshape(shape)
+    return new_num, new_w
+
+
+def integrate_semkey(semkey_volume: jnp.ndarray, ids: jnp.ndarray,
+                     scores: jnp.ndarray, indices: jnp.ndarray,
+                     mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Packed-key form of :func:`integrate_semantics`: the scene state
+    stores the monotonic (score, id) int32 key itself, so the
+    winner-takes-max update is ONE in-place scatter-max -- the pack/unpack
+    full-volume passes happen only at read boundaries."""
+    shape = semkey_volume.shape
+    n, p = indices.shape[0], indices.shape[1]
+    if ids.ndim == 1:
+        ids = jnp.broadcast_to(ids[:, None], (n, p))
+        scores = jnp.broadcast_to(scores[:, None], (n, p))
+    valid = valid_index_mask(indices, shape)
+    if mask is not None:
+        valid = valid & mask[:, None, None]
+    key_new = pack_semantic_key(scores, ids)
+    key_new = jnp.broadcast_to(key_new[:, :, None], (n, p, 8))
+    key_new = jnp.where(valid, key_new, 0)
+    safe = clamp_indices(indices, shape)
+    lin = _flatten_index(safe, shape).reshape(-1)
+    return semkey_volume.reshape(-1).at[lin].max(
+        key_new.reshape(-1)).reshape(shape)
 
 
 class IntegrationResult(NamedTuple):
