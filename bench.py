@@ -80,22 +80,24 @@ def main():
         })
     frames = jax.device_put(frames)
 
-    def run_frame(vol, frame):
-        return pipe._step_fuse((params, stats), vol, frame, None)
-
-    # NOTE: on the tunneled axon backend block_until_ready does not
-    # synchronize; force completion with a scalar reduction + 4-byte
-    # readback that depends on the whole chain.
+    # Stack the rendered trajectory to a (T, ...) frame batch and fuse the
+    # whole stream in ONE lax.scan program (single host dispatch; the
+    # volume state never leaves HBM). NOTE: on the tunneled axon backend
+    # block_until_ready does not synchronize; a scalar reduction + 4-byte
+    # readback forces completion of the chain.
+    n_iters = 64
+    reps = n_iters // len(frames)
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(list(xs) * reps), *frames)
     sum_w = jax.jit(lambda v: jnp.sum(v.weights))
 
+    run_seq = pipe.fuse_sequence
     # warmup / compile
-    volume = run_frame(volume, frames[0])
+    volume = run_seq((params, stats), volume, stacked, None)
     float(sum_w(volume))
 
-    n_iters = 60
     t0 = time.perf_counter()
-    for i in range(n_iters):
-        volume = run_frame(volume, frames[i % len(frames)])
+    volume = run_seq((params, stats), volume, stacked, None)
     float(sum_w(volume))
     dt = time.perf_counter() - t0
     fps = n_iters / dt

@@ -279,6 +279,28 @@ class Pipeline:
     _step_train = functools.partial(jax.jit, static_argnums=(0,),
                                     donate_argnums=(3,))(step_train_impl)
 
+    def fuse_sequence_impl(self, params_and_stats, volume: SceneVolume,
+                           frames: Dict[str, jnp.ndarray],
+                           seg_params) -> SceneVolume:
+        """Fuse a whole frame sequence device-side with ``lax.scan``.
+
+        ``frames`` is the per-frame dict with a leading time axis (T, ...).
+        One XLA program fuses all T frames -- the recurrent volume state
+        never leaves HBM and there is a single host dispatch for the whole
+        stream (the reference's per-frame Python loop, train_fusion.py:145,
+        pays a host round-trip per frame). This is the production serving
+        path for pre-staged frame batches.
+        """
+        def body(vol, frame):
+            return self.step_fuse_impl(params_and_stats, vol, frame,
+                                       seg_params), None
+
+        new_volume, _ = jax.lax.scan(body, volume, frames)
+        return new_volume
+
+    fuse_sequence = functools.partial(jax.jit, static_argnums=(0,),
+                                      donate_argnums=(2,))(fuse_sequence_impl)
+
     # -- host-facing API (reference signatures) ---------------------------------
 
     @staticmethod
