@@ -56,45 +56,51 @@ def main():
     volume = init_scene_volume(vshape, origin, resolution,
                                cfg.DATA.init_value)
 
-    # pre-render a short trajectory at the bench resolution
+    # pre-render a short trajectory at the bench resolution (one vmapped
+    # call -- per-call dispatch through the tunnel is expensive)
+    import sys
+
+    def note(msg):
+        print(msg, file=sys.stderr, flush=True)
+
     from segfusion_tpu.ops.raycast import render_depth
     coarse, _ = scene.grid(0.04, 10.0, pad=2)
     f = 0.5 * w
     intr = jnp.asarray([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]],
                        jnp.float32)
-    poses = scene.camera_poses(8)
+    poses = jnp.asarray(scene.camera_poses(8))
     gvol = jnp.asarray(coarse.volume)
     gorg = jnp.asarray(coarse.origin)
-    frames = []
-    for p in poses:
-        d = render_depth(gvol, jnp.asarray(p), intr, gorg,
-                         coarse.resolution, h, w, near=0.05, far=9.0,
-                         n_steps=256)
-        sem = (jnp.clip(d * 7.0, 0, 29)).astype(jnp.uint8)
-        frames.append({
-            "depth": d,
-            "extrinsics": jnp.asarray(p),
-            "intrinsics": intr,
-            "mask": d > 0,
-            "semantic_gt": sem,
-        })
-    frames = jax.device_put(frames)
+    note("bench: rendering trajectory...")
+    depths = jax.jit(jax.vmap(
+        lambda p: render_depth(gvol, p, intr, gorg, coarse.resolution,
+                               h, w, near=0.05, far=9.0, n_steps=192)
+    ))(poses)
+    frames = {
+        "depth": depths,
+        "extrinsics": poses,
+        "intrinsics": jnp.broadcast_to(intr, (8, 3, 3)),
+        "mask": depths > 0,
+        "semantic_gt": jnp.clip(depths * 7.0, 0, 29).astype(jnp.uint8),
+    }
+    note("bench: frames ready")
 
     # Stack the rendered trajectory to a (T, ...) frame batch and fuse the
     # whole stream in ONE lax.scan program (single host dispatch; the
     # volume state never leaves HBM). NOTE: on the tunneled axon backend
     # block_until_ready does not synchronize; a scalar reduction + 4-byte
     # readback forces completion of the chain.
-    n_iters = 64
-    reps = n_iters // len(frames)
+    n_iters = 32
+    reps = n_iters // 8
     stacked = jax.tree_util.tree_map(
-        lambda *xs: jnp.stack(list(xs) * reps), *frames)
+        lambda x: jnp.concatenate([x] * reps, axis=0), frames)
     sum_w = jax.jit(lambda v: jnp.sum(v.weights))
 
     run_seq = pipe.fuse_sequence
-    # warmup / compile
+    note("bench: compiling fused scan step...")
     volume = run_seq((params, stats), volume, stacked, None)
     float(sum_w(volume))
+    note("bench: warmup done, timing...")
 
     t0 = time.perf_counter()
     volume = run_seq((params, stats), volume, stacked, None)

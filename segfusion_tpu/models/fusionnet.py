@@ -36,12 +36,15 @@ class Block(nn.Module):
     (reference modules/model.py:4-21)."""
     features: int
     dropout: float = 0.2
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for _ in range(2):
-            x = nn.Conv(self.features, (3, 3), padding=1)(x)
-            x = nn.BatchNorm(use_running_average=not train)(x)
+            x = nn.Conv(self.features, (3, 3), padding=1,
+                        dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             dtype=self.dtype)(x)
             x = nn.leaky_relu(x)
             x = nn.Dropout(self.dropout, broadcast_dims=(1, 2),
                            deterministic=not train)(x)
@@ -57,26 +60,28 @@ class Pred(nn.Module):
     features: int
     n_points: int | None = None
     dropout: float = 0.2
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.n_points is None:
             for _ in range(2):
-                x = nn.Conv(self.features, (1, 1))(x)
-                x = nn.BatchNorm(use_running_average=not train)(x)
+                x = nn.Conv(self.features, (1, 1), dtype=self.dtype)(x)
+                x = nn.BatchNorm(use_running_average=not train,
+                                 dtype=self.dtype)(x)
                 x = nn.leaky_relu(x)
                 x = nn.Dropout(self.dropout, broadcast_dims=(1, 2),
                                deterministic=not train)(x)
             return x
-        x = nn.Conv(self.features, (1, 1))(x)
-        x = nn.BatchNorm(use_running_average=not train)(x)
+        x = nn.Conv(self.features, (1, 1), dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
         x = nn.leaky_relu(x)
         x = nn.Dropout(self.dropout, broadcast_dims=(1, 2),
                        deterministic=not train)(x)
-        x = nn.Conv(self.features, (1, 1))(x)
+        x = nn.Conv(self.features, (1, 1), dtype=self.dtype)(x)
         x = nn.leaky_relu(x)
-        x = nn.Conv(self.n_points, (1, 1))(x)
-        return jnp.tanh(x)
+        x = nn.Conv(self.n_points, (1, 1), dtype=self.dtype)(x)
+        return jnp.tanh(x).astype(jnp.float32)
 
 
 def _avg_pool_3x3(x):
@@ -95,6 +100,7 @@ class VortexPooling(nn.Module):
     out_features: int
     rates: Sequence[int] = (1, 3, 9, 27)
     dropout: float = 0.2
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -102,30 +108,35 @@ class VortexPooling(nn.Module):
 
         # branch 1: image-level pooling
         g = jnp.mean(x, axis=(1, 2), keepdims=True)
-        g = nn.Conv(self.out_features, (1, 1))(g)
+        g = nn.Conv(self.out_features, (1, 1), dtype=self.dtype)(g)
         g = jnp.broadcast_to(g, (x.shape[0], h, w, self.out_features))
-        g = nn.BatchNorm(use_running_average=not train)(g)
+        g = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(g)
 
         branches = [g]
         xp = x
         for i, rate in enumerate(self.rates):
             inp = xp if i == 0 else (xp := _avg_pool_3x3(xp))
-            b = nn.Conv(self.mid_features, (1, 1))(inp)
-            b = nn.BatchNorm(use_running_average=not train)(b)
+            b = nn.Conv(self.mid_features, (1, 1), dtype=self.dtype)(inp)
+            b = nn.BatchNorm(use_running_average=not train,
+                             dtype=self.dtype)(b)
             b = nn.relu(b)
             for _ in range(2):
                 b = nn.Conv(self.mid_features, (3, 3),
-                            kernel_dilation=rate, padding=rate)(b)
-                b = nn.BatchNorm(use_running_average=not train)(b)
+                            kernel_dilation=rate, padding=rate,
+                            dtype=self.dtype)(b)
+                b = nn.BatchNorm(use_running_average=not train,
+                                 dtype=self.dtype)(b)
                 b = nn.relu(b)
-            b = nn.Conv(self.out_features, (1, 1))(b)
-            b = nn.BatchNorm(use_running_average=not train)(b)
+            b = nn.Conv(self.out_features, (1, 1), dtype=self.dtype)(b)
+            b = nn.BatchNorm(use_running_average=not train,
+                             dtype=self.dtype)(b)
             b = nn.relu(b)
             branches.append(b)
 
         out = jnp.concatenate(branches, axis=-1)
-        out = nn.Conv(self.out_features, (1, 1))(out)
-        out = nn.BatchNorm(use_running_average=not train)(out)
+        out = nn.Conv(self.out_features, (1, 1), dtype=self.dtype)(out)
+        out = nn.BatchNorm(use_running_average=not train,
+                           dtype=self.dtype)(out)
         out = nn.Dropout(self.dropout, broadcast_dims=(1, 2),
                          deterministic=not train)(out)
         return out
@@ -149,6 +160,7 @@ class FusionNetV1(nn.Module):
     n_points: int = 9
     use_semantics: bool = False
     output_scale: float = 1.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, data: Dict[str, jnp.ndarray], train: bool = False):
@@ -157,11 +169,13 @@ class FusionNetV1(nn.Module):
         if self.use_semantics:
             keys.append("semantic_frame")
         x = _cat_inputs(data, keys)
-        x = _dense_blocks(x, [Block(n_ch) for _ in range(4)], train)
-        x = Pred(4 * n_ch)(x, train=train)
-        x = Pred(3 * n_ch)(x, train=train)
-        x = Pred(2 * n_ch)(x, train=train)
-        x = Pred(1 * n_ch, n_points=self.n_points)(x, train=train)
+        x = _dense_blocks(x, [Block(n_ch, dtype=self.dtype)
+                              for _ in range(4)], train)
+        x = Pred(4 * n_ch, dtype=self.dtype)(x, train=train)
+        x = Pred(3 * n_ch, dtype=self.dtype)(x, train=train)
+        x = Pred(2 * n_ch, dtype=self.dtype)(x, train=train)
+        x = Pred(1 * n_ch, n_points=self.n_points,
+                 dtype=self.dtype)(x, train=train)
         return self.output_scale * x
 
 
@@ -171,6 +185,7 @@ class FusionNetV2(nn.Module):
     use_semantics: bool = False
     output_scale: float = 1.0
     growth_factor: int = 6
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, data: Dict[str, jnp.ndarray], train: bool = False):
@@ -181,12 +196,14 @@ class FusionNetV2(nn.Module):
         if self.use_semantics:
             keys.append("semantic_frame")
         x = _cat_inputs(data, keys)
-        x = _dense_blocks(x, [Block(n_ch) for _ in range(gf)], train)
-        x = VortexPooling(n_ch, pool_in)(x, train=train)
-        x = VortexPooling(n_ch, pool_in)(x, train=train)
+        x = _dense_blocks(x, [Block(n_ch, dtype=self.dtype)
+                              for _ in range(gf)], train)
+        x = VortexPooling(n_ch, pool_in, dtype=self.dtype)(x, train=train)
+        x = VortexPooling(n_ch, pool_in, dtype=self.dtype)(x, train=train)
         for i in range(gf):
             pts = self.n_points if i == gf - 1 else None
-            x = Pred((gf - i) * n_ch, n_points=pts)(x, train=train)
+            x = Pred((gf - i) * n_ch, n_points=pts,
+                     dtype=self.dtype)(x, train=train)
         return self.output_scale * x
 
 
@@ -199,6 +216,7 @@ class FusionNetV3(nn.Module):
     use_semantics: bool = False
     output_scale: float = 1.0
     growth_factor: int = 6
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, data: Dict[str, jnp.ndarray], train: bool = False):
@@ -208,20 +226,24 @@ class FusionNetV3(nn.Module):
 
         x_tsdf = _cat_inputs(data, ["tsdf_values", "tsdf_weights",
                                     "tsdf_frame"])
-        y = _dense_blocks(x_tsdf, [Block(n_ch) for _ in range(gf)], train)
-        y = VortexPooling(n_ch, pool_in)(y, train=train)
+        y = _dense_blocks(x_tsdf, [Block(n_ch, dtype=self.dtype)
+                                   for _ in range(gf)], train)
+        y = VortexPooling(n_ch, pool_in, dtype=self.dtype)(y, train=train)
 
         if self.use_semantics:
             x_sem = _cat_inputs(data, ["tsdf_values", "tsdf_weights",
                                        "semantic_frame"])
-            y1 = _dense_blocks(x_sem, [Block(n_ch) for _ in range(gf)], train)
-            y1 = VortexPooling(n_ch, pool_in)(y1, train=train)
+            y1 = _dense_blocks(x_sem, [Block(n_ch, dtype=self.dtype)
+                                       for _ in range(gf)], train)
+            y1 = VortexPooling(n_ch, pool_in, dtype=self.dtype)(y1,
+                                                                train=train)
             y = jnp.concatenate([y, y1], axis=-1)
 
-        y = VortexPooling(n_ch, pool_in)(y, train=train)
+        y = VortexPooling(n_ch, pool_in, dtype=self.dtype)(y, train=train)
         for i in range(gf):
             pts = self.n_points if i == gf - 1 else None
-            y = Pred((gf - i) * n_ch, n_points=pts)(y, train=train)
+            y = Pred((gf - i) * n_ch, n_points=pts,
+                     dtype=self.dtype)(y, train=train)
         return self.output_scale * y
 
 
@@ -229,9 +251,13 @@ def build_fusion_net(config: Any) -> nn.Module:
     """Factory matching the reference's v1/v2/v3 selection
     (reference modules/pipeline.py:27-32). ``config`` is the FUSION_MODEL
     section."""
+    dtype = None
+    if config.get("compute_dtype") in ("bfloat16", "bf16"):
+        dtype = jnp.bfloat16
     kwargs = dict(n_points=config.n_points,
                   use_semantics=bool(config.use_semantics),
-                  output_scale=float(config.output_scale))
+                  output_scale=float(config.output_scale),
+                  dtype=dtype)
     name = config.name
     if name == "v1":
         return FusionNetV1(**kwargs)
