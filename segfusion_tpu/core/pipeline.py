@@ -323,6 +323,48 @@ class Pipeline:
             frame["semantic_gt"] = squeeze(batch["semantic_gt"])
         return frame
 
+    def fuse_many(self, batches, database, params, batch_stats,
+                  seg_params=None, chunk: int = 16):
+        """Stream a list/iterator of host batches through chunked
+        ``fuse_sequence`` calls: consecutive same-scene frames are stacked
+        into fixed-size chunks (tail-padded with all-masked no-op frames to
+        keep shapes static) and fused with one device dispatch per chunk.
+        Semantically identical to calling :meth:`fuse` per frame."""
+        pending: list = []
+        pending_scene = None
+
+        def flush():
+            nonlocal pending, pending_scene
+            if not pending:
+                return
+            frames = pending
+            n = len(frames)
+            if n < chunk:  # pad with no-op frames (mask all False)
+                pad = dict(frames[-1])
+                pad["mask"] = jnp.zeros_like(frames[-1]["mask"])
+                frames = frames + [pad] * (chunk - n)
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *frames)
+            volume = database.volumes[pending_scene]
+            new_volume = self.fuse_sequence((params, batch_stats), volume,
+                                            stacked, seg_params)
+            database.update(pending_scene, new_volume)
+            pending = []
+
+        for batch in batches:
+            import numpy as _np
+            if not _np.all(_np.isfinite(_np.asarray(batch["extrinsics"]))):
+                continue
+            scene_id = self._scene_of(batch)
+            if scene_id != pending_scene and pending:
+                flush()
+            pending_scene = scene_id
+            pending.append(self._frame_from_batch(batch,
+                                                  self.config.DATA.input))
+            if len(pending) == chunk:
+                flush()
+        flush()
+
     def fuse(self, batch, database, params, batch_stats, seg_params=None):
         """Online inference on one frame; updates the database in place
         (reference Pipeline.fuse, modules/pipeline.py:173-248)."""

@@ -32,9 +32,9 @@ __all__ = ["Bottleneck", "BottleneckSSMA", "Encoder", "EASPP", "Decoder",
            "SSMA", "AdapNet", "build_adapnet"]
 
 
-def _bn(train: bool):
+def _bn(train: bool, dtype=None):
     return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                        epsilon=1e-5)
+                        epsilon=1e-5, dtype=dtype)
 
 
 class Bottleneck(nn.Module):

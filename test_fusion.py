@@ -68,14 +68,22 @@ def test_fusion(config):
         workspace.log("WARNING: no fusion checkpoint given -- "
                       "running with random weights", "test")
 
-    n = 0
-    for batch in loader:
-        if not np.all(np.isfinite(np.asarray(batch["extrinsics"]))):
-            continue
-        pipeline.fuse(batch, database, params, batch_stats,
-                      seg_params=seg_params)
-        n += 1
-    workspace.log(f"fused {n} frames", "test")
+    chunk = int(config.TESTING.get("sequence_chunk", 16) or 1)
+    if chunk > 1:
+        # chunked device-resident scan (one dispatch per chunk)
+        pipeline.fuse_many(loader, database, params, batch_stats,
+                           seg_params=seg_params, chunk=chunk)
+        workspace.log(f"fused {len(dataset)} frames "
+                      f"(chunked scan x{chunk})", "test")
+    else:
+        n = 0
+        for batch in loader:
+            if not np.all(np.isfinite(np.asarray(batch["extrinsics"]))):
+                continue
+            pipeline.fuse(batch, database, params, batch_stats,
+                          seg_params=seg_params)
+            n += 1
+        workspace.log(f"fused {n} frames", "test")
 
     database.filter(value=float(config.TESTING.outlier_filter_val))
     if config.DATA.semantics:

@@ -1,0 +1,41 @@
+"""fuse_many (chunked scan streaming) must equal per-frame fuse exactly,
+including tail padding with no-op frames and scene switching."""
+
+import numpy as np
+import jax
+
+from segfusion_tpu.core.database import Database
+from segfusion_tpu.core.pipeline import Pipeline
+from segfusion_tpu.data.synthetic import Synthetic
+from tests.test_pipeline import small_config, _batch
+
+
+def test_fuse_many_matches_per_frame():
+    cfg = small_config(use_semantics=False, semantics="class8")
+    cfg.DATA.semantic_grid = True
+    cfg.DATA.n_scenes = 2
+    data = Synthetic(cfg.DATA)
+    db = Database(data, cfg.DATA)
+    pipe = Pipeline(cfg)
+    params, stats = pipe.init_fusion_params(jax.random.PRNGKey(0), 48, 48)
+
+    # stream crossing a scene boundary with a non-multiple-of-chunk tail
+    idxs = list(range(5)) + list(range(cfg.DATA.n_frames,
+                                      cfg.DATA.n_frames + 3))
+    batches = [_batch(data, i) for i in idxs]
+
+    db.reset()
+    for b in batches:
+        pipe.fuse(b, db, params, stats)
+    ref = {s: db.volumes[s] for s in data.scenes}
+
+    db.reset()
+    pipe.fuse_many(batches, db, params, stats, chunk=4)
+    for s in data.scenes:
+        np.testing.assert_allclose(np.asarray(db.volumes[s].weights),
+                                   np.asarray(ref[s].weights), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(db.volumes[s].num),
+                                   np.asarray(ref[s].num), atol=1e-3)
+        np.testing.assert_array_equal(np.asarray(db.volumes[s].semkey),
+                                      np.asarray(ref[s].semkey))
+        assert db.state[s]
