@@ -42,24 +42,26 @@ class Bottleneck(nn.Module):
     mid: int
     stride: int = 1
     project: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         out_ch = self.mid * 4
         residual = x
-        y = nn.Conv(self.mid, (1, 1), use_bias=False)(x)
-        y = _bn(train)(y)
+        y = nn.Conv(self.mid, (1, 1), use_bias=False, dtype=self.dtype)(x)
+        y = _bn(train, self.dtype)(y)
         y = nn.relu(y)
         y = nn.Conv(self.mid, (3, 3), strides=self.stride, padding=1,
-                    use_bias=False)(y)
-        y = _bn(train)(y)
+                    use_bias=False, dtype=self.dtype)(y)
+        y = _bn(train, self.dtype)(y)
         y = nn.relu(y)
-        y = nn.Conv(out_ch, (1, 1), use_bias=False)(y)
-        y = _bn(train)(y)
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype)(y)
+        y = _bn(train, self.dtype)(y)
         if self.project or self.stride != 1 or x.shape[-1] != out_ch:
             residual = nn.Conv(out_ch, (1, 1), strides=self.stride,
-                               use_bias=False, name="downsample_conv")(x)
-            residual = _bn(train)(residual)
+                               use_bias=False, name="downsample_conv",
+                               dtype=self.dtype)(x)
+            residual = _bn(train, self.dtype)(residual)
         return nn.relu(y + residual)
 
 
@@ -75,31 +77,32 @@ class BottleneckSSMA(nn.Module):
     project: bool = False  # layer4[0] has a stride-1 projection downsample
     drop_out: bool = False
     drop_rate: float = 0.5
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
-        y = nn.Conv(self.mid, (1, 1), use_bias=False)(x)
-        y = _bn(train)(y)
+        y = nn.Conv(self.mid, (1, 1), use_bias=False, dtype=self.dtype)(x)
+        y = _bn(train, self.dtype)(y)
         y = nn.relu(y)
 
         half = self.d3 // 2
         a = nn.Conv(half, (3, 3), kernel_dilation=self.r1, padding=self.r1,
-                    use_bias=False)(y)
-        a = _bn(train)(a)
+                    use_bias=False, dtype=self.dtype)(y)
+        a = _bn(train, self.dtype)(a)
         a = nn.relu(a)
         b = nn.Conv(half, (3, 3), kernel_dilation=self.r2, padding=self.r2,
-                    use_bias=False)(y)
-        b = _bn(train)(b)
+                    use_bias=False, dtype=self.dtype)(y)
+        b = _bn(train, self.dtype)(b)
         b = nn.relu(b)
         y = jnp.concatenate([a, b], axis=-1)
 
-        y = nn.Conv(self.out, (1, 1), use_bias=False)(y)
-        y = _bn(train)(y)
+        y = nn.Conv(self.out, (1, 1), use_bias=False, dtype=self.dtype)(y)
+        y = _bn(train, self.dtype)(y)
         if self.project or x.shape[-1] != self.out:
             residual = nn.Conv(self.out, (1, 1), use_bias=False,
-                               name="downsample_conv")(x)
-            residual = _bn(train)(residual)
+                               name="downsample_conv", dtype=self.dtype)(x)
+            residual = _bn(train, self.dtype)(residual)
         y = nn.relu(y + residual)
         if self.drop_out:
             y = nn.Dropout(self.drop_rate, deterministic=not train)(y)
@@ -110,41 +113,47 @@ class Encoder(nn.Module):
     """ResNet-50 encoder with the AdapNet++ surgery (reference
     modules/adapnet.py:87-149). Output stride 16; returns
     (features 2048ch @ /16, skip2 24ch @ /4, skip1 24ch @ /8)."""
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        dt = self.dtype
         # stem
-        x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False)(x)
-        x = _bn(train)(x)
+        x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
+                    dtype=dt)(x)
+        x = _bn(train, dt)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         # layer1: 3 bottlenecks, 256
-        x = Bottleneck(64, project=True)(x, train)
-        x = Bottleneck(64)(x, train)
-        x = Bottleneck(64)(x, train)
-        skip2 = _bn(train)(nn.Conv(24, (1, 1))(x))
+        x = Bottleneck(64, project=True, dtype=dt)(x, train)
+        x = Bottleneck(64, dtype=dt)(x, train)
+        x = Bottleneck(64, dtype=dt)(x, train)
+        skip2 = _bn(train, dt)(nn.Conv(24, (1, 1), dtype=dt)(x))
 
         # layer2: 4 bottlenecks, 512; last replaced by multi-dilation unit
         # (reference adapnet.py:106)
-        x = Bottleneck(128, stride=2)(x, train)
-        x = Bottleneck(128)(x, train)
-        x = Bottleneck(128)(x, train)
-        x = BottleneckSSMA(mid=128, r1=1, r2=2, d3=64, out=512)(x, train)
-        skip1 = _bn(train)(nn.Conv(24, (1, 1))(x))
+        x = Bottleneck(128, stride=2, dtype=dt)(x, train)
+        x = Bottleneck(128, dtype=dt)(x, train)
+        x = Bottleneck(128, dtype=dt)(x, train)
+        x = BottleneckSSMA(mid=128, r1=1, r2=2, d3=64, out=512,
+                           dtype=dt)(x, train)
+        skip1 = _bn(train, dt)(nn.Conv(24, (1, 1), dtype=dt)(x))
 
         # layer3: 6 bottlenecks, 1024; blocks 2..5 replaced (adapnet.py:108-116)
-        x = Bottleneck(256, stride=2)(x, train)
-        x = Bottleneck(256)(x, train)
+        x = Bottleneck(256, stride=2, dtype=dt)(x, train)
+        x = Bottleneck(256, dtype=dt)(x, train)
         for i, r2 in enumerate((2, 16, 8, 4)):
             x = BottleneckSSMA(mid=256, r1=1, r2=r2, d3=256, out=1024,
-                               drop_out=(i == 0))(x, train)
+                               drop_out=(i == 0), dtype=dt)(x, train)
 
         # layer4: stride removed, 3 multi-dilation blocks (adapnet.py:118-130)
         x = BottleneckSSMA(mid=512, r1=2, r2=4, d3=512, out=2048,
-                           project=True)(x, train)
-        x = BottleneckSSMA(mid=512, r1=2, r2=8, d3=512, out=2048)(x, train)
-        x = BottleneckSSMA(mid=512, r1=2, r2=16, d3=512, out=2048)(x, train)
+                           project=True, dtype=dt)(x, train)
+        x = BottleneckSSMA(mid=512, r1=2, r2=8, d3=512, out=2048,
+                           dtype=dt)(x, train)
+        x = BottleneckSSMA(mid=512, r1=2, r2=16, d3=512, out=2048,
+                           dtype=dt)(x, train)
 
         return x, skip2, skip1
 
@@ -154,29 +163,33 @@ class EASPP(nn.Module):
     mid: int = 64
     out: int = 256
     rates: Sequence[int] = (3, 6, 12)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        b1 = nn.relu(_bn(train)(nn.Conv(self.out, (1, 1))(x)))
+        dt = self.dtype
+        b1 = nn.relu(_bn(train, dt)(nn.Conv(self.out, (1, 1),
+                                            dtype=dt)(x)))
         branches = [b1]
         for rate in self.rates:
-            y = nn.Conv(self.mid, (1, 1))(x)
-            y = nn.relu(_bn(train)(y))
+            y = nn.Conv(self.mid, (1, 1), dtype=dt)(x)
+            y = nn.relu(_bn(train, dt)(y))
             for _ in range(2):
                 y = nn.Conv(self.mid, (3, 3), kernel_dilation=rate,
-                            padding=rate)(y)
-                y = nn.relu(_bn(train)(y))
-            y = nn.Conv(self.out, (1, 1))(y)
-            y = nn.relu(_bn(train)(y))
+                            padding=rate, dtype=dt)(y)
+                y = nn.relu(_bn(train, dt)(y))
+            y = nn.Conv(self.out, (1, 1), dtype=dt)(y)
+            y = nn.relu(_bn(train, dt)(y))
             branches.append(y)
         # image pooling branch (BN deliberately absent, adapnet.py:209-210)
         g = jnp.mean(x, axis=(1, 2), keepdims=True)
-        g = nn.relu(nn.Conv(self.out, (1, 1))(g))
+        g = nn.relu(nn.Conv(self.out, (1, 1), dtype=dt)(g))
         g = jnp.broadcast_to(g, (x.shape[0], x.shape[1], x.shape[2],
-                                 self.out))
+                                 self.out)).astype(b1.dtype)
         branches.append(g)
         y = jnp.concatenate(branches, axis=-1)
-        return nn.relu(_bn(train)(nn.Conv(self.out, (1, 1))(y)))
+        return nn.relu(_bn(train, dt)(nn.Conv(self.out, (1, 1),
+                                              dtype=dt)(y)))
 
 
 def _upsample(x, factor: int):
@@ -189,47 +202,56 @@ class Decoder(nn.Module):
     (reference modules/adapnet.py:219-317)."""
     n_classes: int
     fusion: bool = False   # fused skip gating for stage-2 models
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, skip1, skip2, train: bool = False):
+        dt = self.dtype
         # stage 1: x2 upsample
-        x = nn.ConvTranspose(256, (4, 4), strides=(2, 2), padding="SAME")(x)
-        x = nn.relu(_bn(train)(x))
-        aux1 = _upsample(_bn(train)(nn.Conv(self.n_classes, (1, 1))(x)), 8)
+        x = nn.ConvTranspose(256, (4, 4), strides=(2, 2), padding="SAME",
+                             dtype=dt)(x)
+        x = nn.relu(_bn(train, dt)(x))
+        aux1 = _upsample(_bn(train, dt)(
+            nn.Conv(self.n_classes, (1, 1), dtype=dt)(x)), 8)
 
+        skip1 = skip1.astype(x.dtype)
+        skip2 = skip2.astype(x.dtype)
         if self.fusion:
             g = jnp.mean(x, axis=(1, 2), keepdims=True)
-            g = nn.relu(nn.Conv(24, (1, 1), name="fuse_conv1")(g))
+            g = nn.relu(nn.Conv(24, (1, 1), name="fuse_conv1", dtype=dt)(g))
             x = jnp.concatenate([x, g * skip1], axis=-1)
         else:
             x = jnp.concatenate([x, skip1], axis=-1)
 
         # stage 2
-        x = nn.Conv(256, (3, 3), padding=1)(x)
-        x = nn.relu(_bn(train)(x))
-        x = nn.Conv(256, (3, 3), padding=1)(x)
-        x = nn.relu(_bn(train)(x))
-        x = nn.ConvTranspose(256, (4, 4), strides=(2, 2), padding="SAME")(x)
-        x = _bn(train)(x)
-        aux2 = _upsample(_bn(train)(nn.Conv(self.n_classes, (1, 1))(x)), 4)
+        x = nn.Conv(256, (3, 3), padding=1, dtype=dt)(x)
+        x = nn.relu(_bn(train, dt)(x))
+        x = nn.Conv(256, (3, 3), padding=1, dtype=dt)(x)
+        x = nn.relu(_bn(train, dt)(x))
+        x = nn.ConvTranspose(256, (4, 4), strides=(2, 2), padding="SAME",
+                             dtype=dt)(x)
+        x = _bn(train, dt)(x)
+        aux2 = _upsample(_bn(train, dt)(
+            nn.Conv(self.n_classes, (1, 1), dtype=dt)(x)), 4)
 
         if self.fusion:
             g = jnp.mean(x, axis=(1, 2), keepdims=True)
-            g = nn.relu(nn.Conv(24, (1, 1), name="fuse_conv2")(g))
+            g = nn.relu(nn.Conv(24, (1, 1), name="fuse_conv2", dtype=dt)(g))
             x = jnp.concatenate([x, g * skip2], axis=-1)
         else:
             x = jnp.concatenate([x, skip2], axis=-1)
 
         # stage 3: to full resolution
-        x = nn.Conv(256, (3, 3), padding=1)(x)
-        x = nn.relu(_bn(train)(x))
-        x = nn.Conv(256, (3, 3), padding=1)(x)
-        x = nn.relu(_bn(train)(x))
-        x = _bn(train)(nn.Conv(self.n_classes, (1, 1))(x))
+        x = nn.Conv(256, (3, 3), padding=1, dtype=dt)(x)
+        x = nn.relu(_bn(train, dt)(x))
+        x = nn.Conv(256, (3, 3), padding=1, dtype=dt)(x)
+        x = nn.relu(_bn(train, dt)(x))
+        x = _bn(train, dt)(nn.Conv(self.n_classes, (1, 1), dtype=dt)(x))
         x = nn.ConvTranspose(self.n_classes, (8, 8), strides=(4, 4),
-                             padding="SAME")(x)
-        res = _bn(train)(x)
-        return res, aux1, aux2
+                             padding="SAME", dtype=dt)(x)
+        res = _bn(train, dt)(x)
+        return (res.astype(jnp.float32), aux1.astype(jnp.float32),
+                aux2.astype(jnp.float32))
 
 
 class SSMA(nn.Module):
@@ -237,18 +259,20 @@ class SSMA(nn.Module):
     (reference modules/adapnet.py:320-354)."""
     features: int
     bottleneck: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x1, x2, train: bool = False):
         reduce = (2 * self.features) // self.bottleneck
         x12 = jnp.concatenate([x1, x2], axis=-1)
-        g = nn.Conv(reduce, (3, 3), padding=1)(x12)
+        g = nn.Conv(reduce, (3, 3), padding=1, dtype=self.dtype)(x12)
         g = nn.relu(g)
-        g = nn.Conv(2 * self.features, (3, 3), padding=1)(g)
+        g = nn.Conv(2 * self.features, (3, 3), padding=1,
+                    dtype=self.dtype)(g)
         g = nn.sigmoid(g)
-        y = x12 * g
-        y = nn.Conv(self.features, (3, 3), padding=1)(y)
-        return _bn(train)(y)
+        y = x12.astype(g.dtype) * g
+        y = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype)(y)
+        return _bn(train, self.dtype)(y)
 
 
 class AdapNet(nn.Module):
@@ -257,32 +281,42 @@ class AdapNet(nn.Module):
     (reference modules/adapnet.py:356-415). Returns [res, aux1, aux2]."""
     n_classes: int
     stage: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, mod1, mod2=None, train: bool = False):
+        dt = self.dtype
         if self.stage == 1:
-            x, skip2, skip1 = Encoder(name="encoder_mod1")(mod1, train)
-            x = EASPP(name="eASPP")(x, train)
+            x, skip2, skip1 = Encoder(name="encoder_mod1", dtype=dt)(mod1,
+                                                                     train)
+            x = EASPP(name="eASPP", dtype=dt)(x, train)
         else:
             assert mod2 is not None, "stage-2 AdapNet needs two modalities"
-            m1, s2_1, s1_1 = Encoder(name="encoder_mod1")(mod1, train)
-            m2, s2_2, s1_2 = Encoder(name="encoder_mod2")(mod2, train)
-            m1 = EASPP(name="eASPP_mod1")(m1, train)
-            m2 = EASPP(name="eASPP_mod2")(m2, train)
-            skip2 = SSMA(24, 6, name="ssma_s2")(s2_1, s2_2, train)
-            skip1 = SSMA(24, 6, name="ssma_s1")(s1_1, s1_2, train)
-            x = SSMA(256, 16, name="ssma_res")(m1, m2, train)
+            m1, s2_1, s1_1 = Encoder(name="encoder_mod1", dtype=dt)(mod1,
+                                                                    train)
+            m2, s2_2, s1_2 = Encoder(name="encoder_mod2", dtype=dt)(mod2,
+                                                                    train)
+            m1 = EASPP(name="eASPP_mod1", dtype=dt)(m1, train)
+            m2 = EASPP(name="eASPP_mod2", dtype=dt)(m2, train)
+            skip2 = SSMA(24, 6, name="ssma_s2", dtype=dt)(s2_1, s2_2, train)
+            skip1 = SSMA(24, 6, name="ssma_s1", dtype=dt)(s1_1, s1_2, train)
+            x = SSMA(256, 16, name="ssma_res", dtype=dt)(m1, m2, train)
 
         res, aux1, aux2 = Decoder(self.n_classes,
                                   fusion=self.stage != 1,
-                                  name="decoder")(x, skip1, skip2, train)
+                                  name="decoder", dtype=dt)(x, skip1, skip2,
+                                                            train)
         return [res, aux1, aux2]
 
 
 def build_adapnet(config: Any) -> AdapNet:
     """Factory from the SEMANTIC_2D_MODEL config section."""
+    dtype = None
+    if config.get("compute_dtype") in ("bfloat16", "bf16"):
+        dtype = jnp.bfloat16
     return AdapNet(n_classes=int(config.n_classes),
-                   stage=int(config.get("stage", 1)))
+                   stage=int(config.get("stage", 1)),
+                   dtype=dtype)
 
 
 class SegmenterAdapter:
