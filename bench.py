@@ -43,6 +43,7 @@ def main():
     cfg.FUSION_MODEL.n_tail_points = 7
     cfg.FUSION_MODEL.growth_factor = 6  # accuracy model
     cfg.FUSION_MODEL.use_semantics = True
+    cfg.FUSION_MODEL.compute_dtype = "bfloat16"  # MXU path
     cfg.SEMANTIC_2D_MODEL.n_classes = 30
 
     pipe = Pipeline(cfg)

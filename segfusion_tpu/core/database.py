@@ -118,11 +118,15 @@ class Database:
     # -- lifecycle ------------------------------------------------------------
 
     def reset(self, scene_id: Optional[str] = None):
-        """Reinitialise estimated volumes (reference modules/database.py:351-370)."""
+        """Reinitialise estimated volumes (reference
+        modules/database.py:351-370). Rebuilt from host metadata so a
+        volume consumed by a donated step cannot poison the fresh state."""
         targets = [scene_id] if scene_id else self.scenes
         for s in targets:
             self.state[s] = False
-            self.volumes[s] = self.volumes[s].reset(self.initial_value)
+            self.volumes[s] = init_scene_volume(
+                self._padded_shape(self.grid_shape[s]), self.origin[s],
+                self.resolution[s], self.initial_value)
 
     # -- post-processing -------------------------------------------------------
 

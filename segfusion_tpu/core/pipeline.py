@@ -323,6 +323,38 @@ class Pipeline:
             frame["semantic_gt"] = squeeze(batch["semantic_gt"])
         return frame
 
+    def train_sequence_impl(self, params, batch_stats, volume: SceneVolume,
+                            gt_tsdf, frames, seg_params, rngs, reset_flags):
+        """Train over a frame chunk with one ``lax.scan``: per-frame grads
+        are accumulated by SUM (the reference's accumulation_steps
+        semantics -- torch .backward() sums into .grad,
+        train_fusion.py:182-189), the volume and BN stats carry through,
+        and per-frame random resets (reference train_fusion.py:159-163)
+        apply via lax.cond on host-provided flags.
+
+        Returns (loss_sum, grad_sum, new_volume, new_batch_stats).
+        """
+        grad_zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+        def body(carry, inp):
+            volume, stats, grad_acc, loss_acc = carry
+            frame, rng, reset = inp
+            volume = jax.lax.cond(reset, lambda v: v.reset(), lambda v: v,
+                                  volume)
+            loss, grads, volume, stats = self.step_train_impl(
+                params, stats, volume, gt_tsdf, frame, seg_params, rng)
+            grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
+            return (volume, stats, grad_acc, loss_acc + loss), None
+
+        (volume, stats, grad_sum, loss_sum), _ = jax.lax.scan(
+            body, (volume, batch_stats, grad_zero, jnp.float32(0.0)),
+            (frames, rngs, reset_flags))
+        return loss_sum, grad_sum, volume, stats
+
+    train_sequence = functools.partial(jax.jit, static_argnums=(0,),
+                                       donate_argnums=(3,))(
+                                           train_sequence_impl)
+
     def fuse_many(self, batches, database, params, batch_stats,
                   seg_params=None, chunk: int = 16):
         """Stream a list/iterator of host batches through chunked

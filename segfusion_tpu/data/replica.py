@@ -185,6 +185,30 @@ class Replica:
                                          [0, 0, 1]], np.float32)
         return sample
 
+    # -- visualization frame helpers (reference dataset/replica.py:334-364) ------
+
+    def get_input_frame(self, frame_id: str) -> np.ndarray:
+        traj, frame = frame_id.rsplit("/", 1)
+        img = self._imread(os.path.join(self.root_dir, traj, "left_rgb",
+                                        frame + ".png"))
+        return img[..., ::-1].astype(np.uint8)  # RGB
+
+    def get_depth_frame(self, frame_id: str) -> np.ndarray:
+        traj, frame = frame_id.rsplit("/", 1)
+        d = self._imread(os.path.join(self.root_dir, traj, "left_depth_gt",
+                                      frame + ".png"), -1).astype(np.float32)
+        d = d / max(float(d.max()), 1e-6) * 255.0
+        return np.repeat(d[..., None], 3, axis=-1).astype(np.uint8)
+
+    def get_semantic_frame(self, frame_id: str) -> np.ndarray:
+        traj, frame = frame_id.rsplit("/", 1)
+        sem = self._imread(os.path.join(
+            self.root_dir, traj, f"left_{self.semantics}", frame + ".png"),
+            -1)
+        if sem.ndim == 3:
+            sem = sem[:, :, 0]
+        return self.rgb_map[sem.astype(np.int64)].astype(np.uint8)
+
     # -- grids -------------------------------------------------------------------
 
     def get_grid(self, scene: str, truncation: float,

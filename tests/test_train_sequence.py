@@ -1,0 +1,84 @@
+"""train_sequence (scan + summed grad accumulation) must match the
+sequential per-frame training loop."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from segfusion_tpu.core.database import Database
+from segfusion_tpu.core.pipeline import Pipeline
+from segfusion_tpu.data.synthetic import Synthetic
+from tests.test_pipeline import small_config, _batch
+
+
+def test_train_sequence_matches_loop():
+    cfg = small_config()
+    data = Synthetic(cfg.DATA)
+    db = Database(data, cfg.DATA)
+    pipe = Pipeline(cfg)
+    params, stats0 = pipe.init_fusion_params(jax.random.PRNGKey(0), 48, 48)
+    s = data.scenes[0]
+    k = 3
+    frames = [pipe._frame_from_batch(_batch(data, i), cfg.DATA.input)
+              for i in range(k)]
+    rngs = jax.random.split(jax.random.PRNGKey(7), k)
+
+    # sequential reference with summed grads
+    db.reset()
+    stats = stats0
+    grad_sum = jax.tree_util.tree_map(jnp.zeros_like, params)
+    loss_sum = 0.0
+    vol = db.volumes[s]
+    gt = db.scenes_gt[s]
+    for i in range(k):
+        loss, grads, vol, stats = pipe.step_train_impl(
+            params, stats, vol, gt, frames[i], None, rngs[i])
+        grad_sum = jax.tree_util.tree_map(jnp.add, grad_sum, grads)
+        loss_sum += float(loss)
+
+    # scan path
+    db.reset()
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *frames)
+    resets = jnp.zeros((k,), bool)
+    loss2, grads2, vol2, stats2 = pipe.train_sequence(
+        params, stats0, db.volumes[s], gt, stacked, None, rngs, resets)
+
+    assert np.isclose(float(loss2), loss_sum, atol=1e-4)
+    # scan vs unrolled compilation reassociates float reductions; grads
+    # agree to ~1e-3 absolute after 3 chained frames
+    for a, b in zip(jax.tree_util.tree_leaves(grads2),
+                    jax.tree_util.tree_leaves(grad_sum)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(vol2.weights),
+                               np.asarray(vol.weights), atol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(stats2),
+                    jax.tree_util.tree_leaves(stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_train_sequence_reset_flag_resets_volume():
+    cfg = small_config()
+    data = Synthetic(cfg.DATA)
+    db = Database(data, cfg.DATA)
+    pipe = Pipeline(cfg)
+    params, stats = pipe.init_fusion_params(jax.random.PRNGKey(0), 48, 48)
+    s = data.scenes[0]
+    frames = [pipe._frame_from_batch(_batch(data, i), cfg.DATA.input)
+              for i in range(2)]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *frames)
+    rngs = jax.random.split(jax.random.PRNGKey(1), 2)
+
+    # pre-populate the volume, then reset before the LAST frame: the final
+    # weights must only contain the last frame's contribution
+    db.reset()
+    _, _, v_ref, _ = pipe.train_sequence(
+        params, stats, db.volumes[s], db.scenes_gt[s],
+        jax.tree_util.tree_map(lambda x: x[1:], stacked), None, rngs[1:],
+        jnp.zeros((1,), bool))
+    w_single = float(jnp.sum(v_ref.weights))
+
+    db.reset()
+    _, _, v2, _ = pipe.train_sequence(
+        params, stats, db.volumes[s], db.scenes_gt[s], stacked, None, rngs,
+        jnp.asarray([False, True]))
+    assert np.isclose(float(jnp.sum(v2.weights)), w_single, rtol=1e-5)

@@ -88,14 +88,18 @@ def train_fusion(args, config):
     workspace.log(f"Fusion Parameters: {n_params}", "train")
 
     # optimizer: clip -> optimizer(schedule), accumulated over k steps
-    # (reference train_fusion.py:182-189)
+    # (reference train_fusion.py:182-189). In sequence mode (default) the
+    # accumulation happens inside one scanned device program with SUMMED
+    # grads (torch .backward() semantics); otherwise optax.MultiSteps.
     schedule = get_schedule(float(config.TRAINING.optimizer.lr),
                             config.TRAINING.scheduler)
     tx = get_optimizer(config.TRAINING.optimizer, learning_rate=schedule)
     if config.TRAINING.optimization.clipping:
         tx = optax.chain(optax.clip_by_global_norm(1.0), tx)
     accum = int(config.TRAINING.optimization.accumulation_steps or 1)
-    if accum > 1:
+    use_sequence = bool(config.TRAINING.optimization.get("use_sequence",
+                                                         True))
+    if accum > 1 and not use_sequence:
         tx = optax.MultiSteps(tx, every_k_schedule=accum)
     opt_state = tx.init(params)
 
@@ -128,32 +132,83 @@ def train_fusion(args, config):
         val_database.reset()
         train_loss = 0.0
 
+        import jax.numpy as jnp
+        chunk_frames = []
+        chunk_resets = []
+        chunk_scene = None
+
+        def reset_flag_for(batch, i):
+            frame_id = batch["frame_id"][0]
+            scene_id = frame_id.rsplit("/", 1)[0]
+            flag = False
+            # new-trajectory reset under hybrid loading
+            # (reference train_fusion.py:154-157)
+            if (frame_id.rsplit("/", 1)[-1] == "0"
+                    and config.DATA.data_load_strategy == "hybrid"):
+                flag = True
+            # random reset (reference train_fusion.py:159-163)
+            if reset_cfg.reset_strategy and \
+                    np.random.random_sample() <= reset_cfg.reset_prob:
+                workspace.log(f"Random reset of scene {scene_id} "
+                              f"at step {i}", "train")
+                flag = True
+            return flag
+
+        def flush_chunk():
+            """Run one accumulated train_sequence chunk + optimizer step."""
+            nonlocal params, opt_state, batch_stats, train_loss
+            nonlocal chunk_frames, chunk_resets, chunk_scene, rng
+            if not chunk_frames:
+                return
+            n = len(chunk_frames)
+            frames = list(chunk_frames)
+            resets = list(chunk_resets)
+            if n < accum:  # pad with no-op frames (mask False -> 0 grads)
+                pad = dict(frames[-1])
+                pad["mask"] = jnp.zeros_like(frames[-1]["mask"])
+                frames += [pad] * (accum - n)
+                resets += [False] * (accum - n)
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *frames)
+            rng, sub = jax.random.split(rng)
+            rngs = jax.random.split(sub, accum)
+            volume = train_database.volumes[chunk_scene]
+            gt = train_database.scenes_gt[chunk_scene]
+            loss_sum, grads, new_volume, batch_stats = \
+                pipeline.train_sequence(params, batch_stats, volume, gt,
+                                        stacked, seg_params, rngs,
+                                        jnp.asarray(resets))
+            train_database.update(chunk_scene, new_volume)
+            params, opt_state = apply_updates(params, opt_state, grads)
+            train_loss += float(loss_sum)
+            chunk_frames = []
+            chunk_resets = []
+
         for i, batch in enumerate(train_loader):
             if not np.all(np.isfinite(np.asarray(batch["extrinsics"]))):
                 continue
 
             frame_id = batch["frame_id"][0]
             scene_id = frame_id.rsplit("/", 1)[0]
-            # new-trajectory reset under hybrid loading
-            # (reference train_fusion.py:154-157)
-            if (frame_id.rsplit("/", 1)[-1] == "0"
-                    and config.DATA.data_load_strategy == "hybrid"):
-                workspace.log(f"Resetting grid for scene {scene_id} "
-                              f"at step {i}", "train")
-                train_database.reset(scene_id)
-            # random reset (reference train_fusion.py:159-163)
-            if reset_cfg.reset_strategy and \
-                    np.random.random_sample() <= reset_cfg.reset_prob:
-                workspace.log(f"Random reset of scene {scene_id} "
-                              f"at step {i}", "train")
-                train_database.reset(scene_id)
 
-            rng, step_rng = jax.random.split(rng)
-            loss, grads, batch_stats = pipeline.fuse_training(
-                batch, train_database, params, batch_stats,
-                seg_params=seg_params, rng=step_rng)
-            params, opt_state = apply_updates(params, opt_state, grads)
-            train_loss += float(loss)
+            if use_sequence:
+                if chunk_scene is not None and scene_id != chunk_scene:
+                    flush_chunk()
+                chunk_scene = scene_id
+                chunk_frames.append(pipeline._frame_from_batch(
+                    batch, config.DATA.input))
+                chunk_resets.append(reset_flag_for(batch, i))
+                if len(chunk_frames) == accum:
+                    flush_chunk()
+            else:
+                if reset_flag_for(batch, i):
+                    train_database.reset(scene_id)
+                rng, step_rng = jax.random.split(rng)
+                loss, grads, batch_stats = pipeline.fuse_training(
+                    batch, train_database, params, batch_stats,
+                    seg_params=seg_params, rng=step_rng)
+                params, opt_state = apply_updates(params, opt_state, grads)
+                train_loss += float(loss)
 
             if (i + 1) % log_freq == 0:
                 workspace.add_scalar("Train/loss", train_loss / log_freq,
@@ -163,6 +218,8 @@ def train_fusion(args, config):
                 train_loss = 0.0
 
             if (i + 1) % eval_freq == 0 or i == n_batches - 1:
+                if use_sequence:
+                    flush_chunk()  # apply pending grads before evaluating
                 step = i + 1 + epoch * n_batches
                 train_eval = train_database.evaluate("train", workspace)
                 for k in ("mse", "acc", "iou", "mad"):
