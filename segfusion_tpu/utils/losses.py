@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["fusion_loss", "cross_entropy", "bootstrapped_cross_entropy",
-           "multi_scale_cross_entropy"]
+           "multi_scale_cross_entropy", "get_loss_function"]
 
 _EPS = 1e-10
 
@@ -120,3 +120,40 @@ def multi_scale_cross_entropy(outputs: Sequence[jnp.ndarray],
         total = total + w * cross_entropy(out, labels, class_weight,
                                           ignore_index)
     return total
+
+
+def get_loss_function(loss_cfg, class_weight_path: Optional[str] = None):
+    """Name -> loss-callable factory (reference utils/setup.py:196-221).
+
+    Returns fn(est, target, **kw) closures with the config's
+    hyperparameters bound; class weights may be loaded from a text file
+    like the reference does.
+    """
+    import functools as _ft
+
+    if loss_cfg is None:
+        return cross_entropy
+    name = loss_cfg.get("name", "fusion")
+    weight = None
+    wpath = loss_cfg.get("weight") or class_weight_path
+    if wpath:
+        import numpy as _np
+        weight = jnp.asarray(_np.loadtxt(wpath), jnp.float32)
+
+    if name == "fusion":
+        return _ft.partial(fusion_loss,
+                           w_l1=float(loss_cfg.get("w_l1", 1.0)),
+                           w_l2=float(loss_cfg.get("w_l2", 10.0)),
+                           w_cos=float(loss_cfg.get("w_cos", 0.1)))
+    if name == "cross_entropy":
+        return _ft.partial(cross_entropy, weight=weight)
+    if name == "bootstrapped_cross_entropy":
+        return _ft.partial(bootstrapped_cross_entropy,
+                           min_k=int(loss_cfg.get("min_K",
+                                                  loss_cfg.get("min_k",
+                                                               4096))),
+                           loss_th=float(loss_cfg.get("loss_th", 0.3)),
+                           weight=weight)
+    if name == "multi_scale_cross_entropy":
+        return _ft.partial(multi_scale_cross_entropy, class_weight=weight)
+    raise NotImplementedError(f"Loss {name} not implemented")
