@@ -1,0 +1,103 @@
+"""Pallas TPU kernel: 3D median filter with VMEM tile staging.
+
+The XLA formulation of a size^3 median filter (ops.filters.median_filter3d)
+materialises size^3 shifted copies of the volume in HBM -- size=5 means 125
+full-volume reads plus a 125-deep sort in HBM-resident form. This kernel
+DMAs each (TX, TY, TZ) tile once (with halo) from HBM into VMEM and runs
+the whole neighborhood rank-selection on the VPU, cutting HBM traffic by
+~size^3.
+
+The grid walks output tiles; the input stays in HBM (memory_space=ANY) and
+the halo'd region is copied per tile with an explicit async DMA
+(pallas_guide.md: Async DMA / run_scoped patterns).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["median_filter3d_pallas"]
+
+
+def _median_kernel(in_hbm, out_ref, size: int, tx: int, ty: int, tz: int):
+    r = size // 2
+
+    # program ids read outside run_scoped (its lowering has no grid frame)
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    k = pl.program_id(2)
+
+    def body(scratch, sem):
+        dma = pltpu.make_async_copy(
+            in_hbm.at[pl.ds(i * tx, tx + 2 * r),
+                      pl.ds(j * ty, ty + 2 * r),
+                      pl.ds(k * tz, tz + 2 * r)],
+            scratch, sem)
+        dma.start()
+        dma.wait()
+
+        tile = scratch[:]
+        # neighborhood stack: (size^3, tx, ty, tz) -- all in VMEM
+        views = []
+        for dx in range(size):
+            for dy in range(size):
+                for dz in range(size):
+                    views.append(
+                        jax.lax.dynamic_slice(tile, (dx, dy, dz),
+                                              (tx, ty, tz)))
+        stack = jnp.stack(views, axis=0)
+        med = jnp.sort(stack, axis=0)[size ** 3 // 2]
+        out_ref[:] = med
+
+    pl.run_scoped(
+        body,
+        pltpu.VMEM((tx + 2 * r, ty + 2 * r, tz + 2 * r), jnp.float32),
+        pltpu.SemaphoreType.DMA(()),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("size", "interpret"))
+def median_filter3d_pallas(volume: jnp.ndarray, size: int = 5,
+                           interpret: bool = False) -> jnp.ndarray:
+    """3D median filter (edge-replicated) via a tiled Pallas kernel.
+
+    Semantically identical to ops.filters.median_filter3d. Works on any
+    dtype (computes in f32).
+    """
+    assert size % 2 == 1
+    r = size // 2
+    orig_dtype = volume.dtype
+    xs, ys, zs = volume.shape
+
+    tx, ty, tz = 8, 8, 128
+    px = -xs % tx
+    py = -ys % ty
+    pz = -zs % tz
+    # halo padding (edge mode) + tile round-up padding
+    vol = jnp.pad(volume.astype(jnp.float32),
+                  ((r, r + px), (r, r + py), (r, r + pz)), mode="edge")
+
+    gx = (xs + px) // tx
+    gy = (ys + py) // ty
+    gz = (zs + pz) // tz
+
+    grid_spec = pl.GridSpec(
+        grid=(gx, gy, gz),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((tx, ty, tz),
+                               lambda i, j, k: (i, j, k),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_median_kernel, size=size, tx=tx, ty=ty, tz=tz),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((xs + px, ys + py, zs + pz),
+                                       jnp.float32),
+        interpret=interpret,
+    )(vol)
+    return out[:xs, :ys, :zs].astype(orig_dtype)
