@@ -83,6 +83,11 @@ class Pipeline:
         self.semantic_strategy = config.DATA.get("semantic_strategy", "gt")
         self.n_classes = int(config.SEMANTIC_2D_MODEL.n_classes) \
             if self.semantics else 0
+        # halve extraction gathers via the packed-f16 shadow (f16 read
+        # precision == the reference's float16 volumes); disable with
+        # SETTINGS.gather_precision: f32
+        self.packed16_gather = config.SETTINGS.get(
+            "gather_precision", "f16packed") != "f32"
 
         self.fusion_net = build_fusion_net(config.FUSION_MODEL)
         # segmenter: optional object with .apply_fn(params, image, depth)
@@ -135,7 +140,8 @@ class Pipeline:
                                      volume.num, volume.weights,
                                      volume.origin, volume.resolution,
                                      init_value=self.init_value,
-                                     n_points=self.n_points)
+                                     n_points=self.n_points,
+                                     packed16=self.packed16_gather)
 
     def _extract_gt(self, depth, extrinsics, intrinsics, gt_tsdf,
                     volume: SceneVolume):

@@ -236,6 +236,47 @@ def trilinear_gather_numw(points_v: jnp.ndarray, num_volume: jnp.ndarray,
     return fusion_values, fusion_weights, indices, weights
 
 
+def trilinear_gather_packed16(points_v: jnp.ndarray, num_volume: jnp.ndarray,
+                              weights_volume: jnp.ndarray, init_value: float,
+                              fill_value: float = INVALID_TSDF_FILL):
+    """Half the gather count of :func:`trilinear_gather_numw`: (num, w) are
+    packed per voxel into one uint32 (two f16 halves) in a single fused
+    full-volume pass (~bandwidth cost of one elementwise op), then each
+    corner needs ONE random access instead of two. Random scalar access is
+    the measured bottleneck on TPU (PERFORMANCE.md), so trading a linear
+    pass for half the gathers wins.
+
+    f16 read precision matches the reference, which stores its volumes in
+    float16 (reference modules/database.py:60-76).
+    """
+    shape = num_volume.shape
+    # pack: num in the high half, w in the low half
+    num16 = jax.lax.bitcast_convert_type(
+        num_volume.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
+    w16 = jax.lax.bitcast_convert_type(
+        weights_volume.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
+    packed = ((num16 << 16) | w16).reshape(-1)
+
+    indices, weights = interpolation_weights(points_v)
+    valid = valid_index_mask(indices, shape)
+    safe = clamp_indices(indices, shape)
+    lin = _flatten_index(safe, shape)
+
+    g = jnp.take(packed, lin, axis=0)
+    num_c = jax.lax.bitcast_convert_type(
+        (g >> 16).astype(jnp.uint16), jnp.float16).astype(jnp.float32)
+    w_c = jax.lax.bitcast_convert_type(
+        (g & 0xFFFF).astype(jnp.uint16), jnp.float16).astype(jnp.float32)
+    v_c = jnp.where(w_c > 0, num_c / jnp.maximum(w_c, 1e-12),
+                    jnp.float32(init_value))
+    v_c = jnp.where(valid, v_c, jnp.float32(fill_value))
+    w_c = jnp.where(valid, w_c, 0.0)
+
+    fusion_values = jnp.sum(v_c * weights, axis=-1)
+    fusion_weights = jnp.sum(w_c * weights, axis=-1)
+    return fusion_values, fusion_weights, indices, weights
+
+
 class ExtractedValues(NamedTuple):
     """Per-ray extraction result (reference modules/extractor.py:69-75)."""
     fusion_values: jnp.ndarray    # (h*w, n_points)
@@ -276,19 +317,24 @@ def extract(depth: jnp.ndarray, extrinsics: jnp.ndarray,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("n_points", "init_value"))
+@functools.partial(jax.jit, static_argnames=("n_points", "init_value",
+                                             "packed16"))
 def extract_numw(depth: jnp.ndarray, extrinsics: jnp.ndarray,
                  intrinsics: jnp.ndarray, num_volume: jnp.ndarray,
                  weights_volume: jnp.ndarray, origin: jnp.ndarray,
                  resolution, init_value: float,
-                 n_points: int = 9) -> ExtractedValues:
-    """:func:`extract` over the accumulator scene state."""
+                 n_points: int = 9, packed16: bool = False
+                 ) -> ExtractedValues:
+    """:func:`extract` over the accumulator scene state. ``packed16`` halves
+    the gather count via the u32-packed f16 shadow (see
+    trilinear_gather_packed16)."""
     h, w = depth.shape
     points_w = unproject(depth, extrinsics, intrinsics)
     eye_w = extrinsics[:3, 3].astype(jnp.float32)
     points_v, _ = sample_ray_points(points_w, eye_w, origin, resolution,
                                     n_points)
-    fusion_values, fusion_weights, indices, weights = trilinear_gather_numw(
+    gather = trilinear_gather_packed16 if packed16 else trilinear_gather_numw
+    fusion_values, fusion_weights, indices, weights = gather(
         points_v, num_volume, weights_volume, init_value)
     return ExtractedValues(
         fusion_values=fusion_values,

@@ -84,3 +84,26 @@ def test_gather_numw_matches_explicit_gather():
     np.testing.assert_allclose(np.asarray(fv2), np.asarray(fv1), atol=1e-4)
     np.testing.assert_allclose(np.asarray(fw2), np.asarray(fw1), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_packed16_gather_matches_f32_within_f16_tolerance():
+    rng = np.random.RandomState(3)
+    shape = (6, 7, 8)
+    init = 0.1
+    w = rng.uniform(0, 4, shape).astype(np.float32)
+    w[w < 1.0] = 0.0
+    tsdf = np.where(w > 0, rng.randn(*shape).astype(np.float32) * 0.05,
+                    init).astype(np.float32)
+    num = tsdf * w
+    pts = rng.uniform(-1.0, 9.0, (60, 3, 3)).astype(np.float32)
+
+    fv32, fw32, i32, w32 = G.trilinear_gather_numw(
+        jnp.asarray(pts), jnp.asarray(num), jnp.asarray(w), init)
+    fv16, fw16, i16, w16 = G.trilinear_gather_packed16(
+        jnp.asarray(pts), jnp.asarray(num), jnp.asarray(w), init)
+    np.testing.assert_array_equal(np.asarray(i32), np.asarray(i16))
+    # f16 quantisation of num/w: values agree to ~1e-3 relative
+    np.testing.assert_allclose(np.asarray(fv16), np.asarray(fv32),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(fw16), np.asarray(fw32),
+                               atol=2e-2, rtol=1e-3)
