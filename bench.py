@@ -37,7 +37,8 @@ def main():
     cfg.DATA.resy = h
     cfg.DATA.init_value = 0.1
     cfg.DATA.semantics = "class30"
-    cfg.DATA.semantic_strategy = "gt"   # per-pixel labels ride the update
+    cfg.DATA.semantic_strategy = "predict"  # AdapNet++ in the loop, like
+                                            # the reference's joint mode
     cfg.FUSION_MODEL.name = "v3"
     cfg.FUSION_MODEL.n_points = 9
     cfg.FUSION_MODEL.n_tail_points = 7
@@ -45,8 +46,18 @@ def main():
     cfg.FUSION_MODEL.use_semantics = True
     cfg.FUSION_MODEL.compute_dtype = "bfloat16"  # MXU path
     cfg.SEMANTIC_2D_MODEL.n_classes = 30
+    cfg.SEMANTIC_2D_MODEL.stage = 2          # RGB+depth fusion AdapNet
+    cfg.SEMANTIC_2D_MODEL.compute_dtype = "bfloat16"
 
-    pipe = Pipeline(cfg)
+    from segfusion_tpu.models.adapnet import SegmenterAdapter, build_adapnet
+    seg_model = build_adapnet(cfg.SEMANTIC_2D_MODEL)
+    seg_vars = seg_model.init(jax.random.PRNGKey(1),
+                              jnp.zeros((1, h, w, 3)),
+                              jnp.zeros((1, h, w, 3)), train=False)
+    seg_params = (seg_vars["params"], seg_vars.get("batch_stats", {}))
+    segmenter = SegmenterAdapter(seg_model, "tof_depth")
+
+    pipe = Pipeline(cfg, segmenter=segmenter)
     params, stats = pipe.init_fusion_params(jax.random.PRNGKey(0), h, w)
 
     # Replica-room-scale volume: ~4.5m box at 1cm voxels
@@ -77,12 +88,14 @@ def main():
         lambda p: render_depth(gvol, p, intr, gorg, coarse.resolution,
                                h, w, near=0.05, far=9.0, n_steps=192)
     ))(poses)
+    gray = jnp.clip(1.0 - depths / 9.0, 0, 1) * 255.0
     frames = {
         "depth": depths,
+        "depth_input": depths,
+        "image": jnp.repeat(gray[..., None], 3, axis=-1),
         "extrinsics": poses,
         "intrinsics": jnp.broadcast_to(intr, (8, 3, 3)),
         "mask": depths > 0,
-        "semantic_gt": jnp.clip(depths * 7.0, 0, 29).astype(jnp.uint8),
     }
     note("bench: frames ready")
 
@@ -99,19 +112,20 @@ def main():
 
     run_seq = pipe.fuse_sequence
     note("bench: compiling fused scan step...")
-    volume = run_seq((params, stats), volume, stacked, None)
+    volume = run_seq((params, stats), volume, stacked, seg_params)
     float(sum_w(volume))
     note("bench: warmup done, timing...")
 
     t0 = time.perf_counter()
-    volume = run_seq((params, stats), volume, stacked, None)
+    volume = run_seq((params, stats), volume, stacked, seg_params)
     float(sum_w(volume))
     dt = time.perf_counter() - t0
     fps = n_iters / dt
 
     print(json.dumps({
         "metric": "joint fusion+semantics throughput, 256x256 depth, "
-                  "FusionNet v3 gf6 + 448^3 1cm volume, 1 TPU chip",
+                  "AdapNet++ stage-2 predict + FusionNet v3 gf6 + 448^3 "
+                  "1cm volume, 1 TPU chip",
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / 10.0, 2),
