@@ -263,7 +263,8 @@ class SSMA(nn.Module):
 
     @nn.compact
     def __call__(self, x1, x2, train: bool = False):
-        reduce = (2 * self.features) // self.bottleneck
+        # reference: reduce_size = features / bottleneck (adapnet.py:329)
+        reduce = self.features // self.bottleneck
         x12 = jnp.concatenate([x1, x2], axis=-1)
         g = nn.Conv(reduce, (3, 3), padding=1, dtype=self.dtype)(x12)
         g = nn.relu(g)

@@ -187,3 +187,209 @@ def convert_fusionnet_state_dict(torch_state: Dict[str, np.ndarray],
             set_leaf(new_stats, fpath + ("mean",), tentry["running_mean"])
             set_leaf(new_stats, fpath + ("var",), tentry["running_var"])
     return new_params, new_stats
+
+
+# ---------------------------------------------------------------------------
+# AdapNet++ conversion (explicit name map; the reference encoder registers
+# skip convs before the backbone so order-matching cannot work)
+# ---------------------------------------------------------------------------
+
+def _encoder_name_map(prefix: str):
+    """torch-module-name -> (flax module path, kind) for one Encoder."""
+    m = {}
+
+    def bottleneck(t, f):
+        m[f"{t}.conv1"] = (f + ("Conv_0",), "conv")
+        m[f"{t}.bn1"] = (f + ("BatchNorm_0",), "bn")
+        m[f"{t}.conv2"] = (f + ("Conv_1",), "conv")
+        m[f"{t}.bn2"] = (f + ("BatchNorm_1",), "bn")
+        m[f"{t}.conv3"] = (f + ("Conv_2",), "conv")
+        m[f"{t}.bn3"] = (f + ("BatchNorm_2",), "bn")
+        m[f"{t}.downsample.0"] = (f + ("downsample_conv",), "conv")
+        m[f"{t}.downsample.1"] = (f + ("BatchNorm_3",), "bn")
+
+    def ssma_block(t, f):
+        m[f"{t}.conv1"] = (f + ("Conv_0",), "conv")
+        m[f"{t}.bn1"] = (f + ("BatchNorm_0",), "bn")
+        m[f"{t}.conv2a"] = (f + ("Conv_1",), "conv")
+        m[f"{t}.bn2a"] = (f + ("BatchNorm_1",), "bn")
+        m[f"{t}.conv2b"] = (f + ("Conv_2",), "conv")
+        m[f"{t}.bn2b"] = (f + ("BatchNorm_2",), "bn")
+        m[f"{t}.conv3"] = (f + ("Conv_3",), "conv")
+        m[f"{t}.bn3"] = (f + ("BatchNorm_3",), "bn")
+        m[f"{t}.downsample.0"] = (f + ("downsample_conv",), "conv")
+        m[f"{t}.downsample.1"] = (f + ("BatchNorm_4",), "bn")
+
+    r = f"{prefix}.res_n50_enc"
+    m[f"{r}.conv1"] = ((prefix, "Conv_0"), "conv")
+    m[f"{r}.bn1"] = ((prefix, "BatchNorm_0"), "bn")
+    m[f"{prefix}.enc_skip2_conv"] = ((prefix, "Conv_1"), "conv")
+    m[f"{prefix}.enc_skip2_conv_bn"] = ((prefix, "BatchNorm_1"), "bn")
+    m[f"{prefix}.enc_skip1_conv"] = ((prefix, "Conv_2"), "conv")
+    m[f"{prefix}.enc_skip1_conv_bn"] = ((prefix, "BatchNorm_2"), "bn")
+
+    for i in range(3):                        # layer1
+        bottleneck(f"{r}.layer1.{i}", (prefix, f"Bottleneck_{i}"))
+    for i in range(3):                        # layer2.0-2
+        bottleneck(f"{r}.layer2.{i}", (prefix, f"Bottleneck_{3 + i}"))
+    ssma_block(f"{r}.layer2.3", (prefix, "BottleneckSSMA_0"))
+    for i in range(2):                        # layer3.0-1
+        bottleneck(f"{r}.layer3.{i}", (prefix, f"Bottleneck_{6 + i}"))
+    for i in range(4):                        # layer3.2-5
+        ssma_block(f"{r}.layer3.{2 + i}", (prefix,
+                                           f"BottleneckSSMA_{1 + i}"))
+    for i in range(3):                        # layer4
+        ssma_block(f"{r}.layer4.{i}", (prefix, f"BottleneckSSMA_{5 + i}"))
+    return m
+
+
+def _easpp_name_map(t_prefix: str, f_prefix: str):
+    m = {f"{t_prefix}.branch1_conv": ((f_prefix, "Conv_0"), "conv"),
+         f"{t_prefix}.branch1_bn": ((f_prefix, "BatchNorm_0"), "bn")}
+    for b in range(3):
+        seq = f"{t_prefix}.branch234.{b}"
+        for slot, (tidx, fidx) in enumerate(
+                zip((0, 3, 6, 9), range(1 + 4 * b, 5 + 4 * b))):
+            m[f"{seq}.{tidx}"] = ((f_prefix, f"Conv_{fidx}"), "conv")
+            m[f"{seq}.{tidx + 1}"] = ((f_prefix, f"BatchNorm_{fidx}"), "bn")
+    m[f"{t_prefix}.branch5_conv"] = ((f_prefix, "Conv_13"), "conv")
+    # branch5_bn is registered but unused in the reference forward
+    m[f"{t_prefix}.eASPP_fin_conv"] = ((f_prefix, "Conv_14"), "conv")
+    m[f"{t_prefix}.eASPP_fin_bn"] = ((f_prefix, "BatchNorm_13"), "bn")
+    return m
+
+
+def _decoder_name_map():
+    d = "decoder"
+    m = {
+        f"{d}.deconv1": ((d, "ConvTranspose_0"), "convT"),
+        f"{d}.deconv1_bn": ((d, "BatchNorm_0"), "bn"),
+        f"{d}.aux_conv1": ((d, "Conv_0"), "conv"),
+        f"{d}.aux_conv1_bn": ((d, "BatchNorm_1"), "bn"),
+        f"{d}.fuse_conv1": ((d, "fuse_conv1"), "conv"),
+        f"{d}.stage2.0": ((d, "Conv_1"), "conv"),
+        f"{d}.stage2.1": ((d, "BatchNorm_2"), "bn"),
+        f"{d}.stage2.3": ((d, "Conv_2"), "conv"),
+        f"{d}.stage2.4": ((d, "BatchNorm_3"), "bn"),
+        f"{d}.stage2.6": ((d, "ConvTranspose_1"), "convT"),
+        f"{d}.stage2.7": ((d, "BatchNorm_4"), "bn"),
+        f"{d}.aux_conv2": ((d, "Conv_3"), "conv"),
+        f"{d}.aux_conv2_bn": ((d, "BatchNorm_5"), "bn"),
+        f"{d}.fuse_conv2": ((d, "fuse_conv2"), "conv"),
+        f"{d}.stage3.0": ((d, "Conv_4"), "conv"),
+        f"{d}.stage3.1": ((d, "BatchNorm_6"), "bn"),
+        f"{d}.stage3.3": ((d, "Conv_5"), "conv"),
+        f"{d}.stage3.4": ((d, "BatchNorm_7"), "bn"),
+        f"{d}.stage3.6": ((d, "Conv_6"), "conv"),
+        f"{d}.stage3.7": ((d, "BatchNorm_8"), "bn"),
+        f"{d}.stage3.8": ((d, "ConvTranspose_2"), "convT"),
+        f"{d}.stage3.9": ((d, "BatchNorm_9"), "bn"),
+    }
+    return m
+
+
+def _ssma_name_map(t_prefix: str, f_prefix: str):
+    return {
+        f"{t_prefix}.link.0": ((f_prefix, "Conv_0"), "conv"),
+        f"{t_prefix}.link.2": ((f_prefix, "Conv_1"), "conv"),
+        f"{t_prefix}.final_conv.0": ((f_prefix, "Conv_2"), "conv"),
+        f"{t_prefix}.final_conv.1": ((f_prefix, "BatchNorm_0"), "bn"),
+    }
+
+
+def adapnet_name_map(stage: int):
+    """Full torch-module-name -> (flax path, kind) map for AdapNet
+    (reference modules/adapnet.py:356-384 construction)."""
+    m = {}
+    m.update(_encoder_name_map("encoder_mod1"))
+    if stage == 1:
+        m.update(_easpp_name_map("eASPP", "eASPP"))
+    else:
+        m.update(_encoder_name_map("encoder_mod2"))
+        m.update(_easpp_name_map("eASPP_mod1", "eASPP_mod1"))
+        m.update(_easpp_name_map("eASPP_mod2", "eASPP_mod2"))
+        m.update(_ssma_name_map("ssma_res", "ssma_res"))
+        m.update(_ssma_name_map("ssma_s1", "ssma_s1"))
+        m.update(_ssma_name_map("ssma_s2", "ssma_s2"))
+    m.update(_decoder_name_map())
+    return m
+
+
+def convert_adapnet_state_dict(torch_state: Dict[str, np.ndarray],
+                               flax_params, flax_batch_stats, stage: int):
+    """Map a reference AdapNet torch state_dict onto Flax templates.
+
+    Conv kernels OIHW -> HWIO; ConvTranspose kernels (in, out, kH, kW) ->
+    flipped HWIO (flax conv_transpose with transpose_kernel=False applies
+    the kernel unflipped, torch flips). Unused reference entries
+    (branch5_bn, num_batches_tracked) are ignored; any flax leaf without a
+    torch source raises.
+    """
+    import jax
+
+    name_map = adapnet_name_map(stage)
+    new_params = jax.tree_util.tree_map(np.asarray, flax_params)
+    new_stats = jax.tree_util.tree_map(np.asarray, flax_batch_stats)
+
+    def set_leaf(tree, path, value, required=True):
+        node = tree
+        for p in path[:-1]:
+            if p not in node:
+                if required:
+                    raise KeyError(f"no flax node {'/'.join(path)}")
+                return False
+            node = node[p]
+        if path[-1] not in node:
+            if required:
+                raise KeyError(f"no flax leaf {'/'.join(path)}")
+            return False
+        old = node[path[-1]]
+        if tuple(old.shape) != tuple(value.shape):
+            raise ValueError(f"shape mismatch at {'/'.join(path)}: "
+                             f"{old.shape} vs {value.shape}")
+        node[path[-1]] = value.astype(old.dtype)
+        return True
+
+    assigned = set()
+
+    def assign(tree, path, value):
+        if set_leaf(tree, path, value, required=False):
+            assigned.add(path)
+
+    for tname, (fpath, kind) in name_map.items():
+        w_key = f"{tname}.weight"
+        if w_key not in torch_state:
+            continue  # e.g. downsample of blocks that have none
+        if kind == "conv":
+            w = np.transpose(torch_state[w_key], (2, 3, 1, 0))
+            assign(new_params, fpath + ("kernel",), w)
+            if f"{tname}.bias" in torch_state:
+                assign(new_params, fpath + ("bias",),
+                       torch_state[f"{tname}.bias"])
+        elif kind == "convT":
+            # torch (in, out, kH, kW) -> flax (kH, kW, in, out), spatially
+            # flipped (torch convtranspose applies the flipped kernel)
+            w = np.transpose(torch_state[w_key], (2, 3, 0, 1))
+            w = w[::-1, ::-1]
+            assign(new_params, fpath + ("kernel",), np.ascontiguousarray(w))
+            if f"{tname}.bias" in torch_state:
+                assign(new_params, fpath + ("bias",),
+                       torch_state[f"{tname}.bias"])
+        else:  # bn
+            assign(new_params, fpath + ("scale",), torch_state[w_key])
+            assign(new_params, fpath + ("bias",),
+                   torch_state[f"{tname}.bias"])
+            assign(new_stats, fpath + ("mean",),
+                   torch_state[f"{tname}.running_mean"])
+            assign(new_stats, fpath + ("var",),
+                   torch_state[f"{tname}.running_var"])
+
+    # completeness: every flax leaf must have received a torch value
+    missing = ["/".join(path) for path, _ in _flatten_flax(new_params)
+               if path not in assigned]
+    missing += ["/".join(path) for path, _ in _flatten_flax(new_stats)
+                if path not in assigned]
+    if missing:
+        raise KeyError(f"unconverted flax leaves: {missing[:8]}"
+                       f"{' ...' if len(missing) > 8 else ''}")
+    return new_params, new_stats
