@@ -434,4 +434,4 @@ class Pipeline:
         fid = batch["frame_id"]
         if isinstance(fid, (list, tuple)):
             fid = fid[0]
-        return str(fid).rsplit("/", 1)[0]
+        return str(fid).split("/", 1)[0]

@@ -135,7 +135,9 @@ class Synthetic:
         self.pad = int(config.get("pad", 2))
         self.seed = int(config.get("seed", 0))
         n_scenes = int(config.get("n_scenes", 1))
-        self.scenes: List[str] = [f"synthetic/scene_{i}"
+        # scene ids are the FIRST path component of frame ids (reference
+        # modules/pipeline.py:199), so scene names must not contain '/'
+        self.scenes: List[str] = [f"synthetic_scene_{i}"
                                   for i in range(n_scenes)]
         self._scene_objs = {s: SyntheticScene(seed=self.seed + i)
                             for i, s in enumerate(self.scenes)}

@@ -139,7 +139,7 @@ def train_fusion(args, config):
 
         def reset_flag_for(batch, i):
             frame_id = batch["frame_id"][0]
-            scene_id = frame_id.rsplit("/", 1)[0]
+            scene_id = frame_id.split("/", 1)[0]
             flag = False
             # new-trajectory reset under hybrid loading
             # (reference train_fusion.py:154-157)
@@ -189,7 +189,7 @@ def train_fusion(args, config):
                 continue
 
             frame_id = batch["frame_id"][0]
-            scene_id = frame_id.rsplit("/", 1)[0]
+            scene_id = frame_id.split("/", 1)[0]
 
             if use_sequence:
                 if chunk_scene is not None and scene_id != chunk_scene:
