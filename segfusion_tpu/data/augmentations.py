@@ -10,7 +10,7 @@ matches the reference's key2aug (utils/setup.py:118-142).
 from __future__ import annotations
 
 import random
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -7,7 +7,7 @@ dtype normalisation; ``to_device`` is a jax.device_put over the dict.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -22,7 +22,7 @@ on the TPU stack (SURVEY.md §7 hard part 6). NHWC layout throughout.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax

@@ -17,8 +17,6 @@ tiles this onto the VPU; the projection matmul runs on the MXU.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -10,7 +10,7 @@ train step is jitted with sharded inputs.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import numpy as np

@@ -11,7 +11,7 @@ checkpoint into a standalone fusion checkpoint, utils/loading.py:161-187).
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Mapping, Optional
+from typing import Any, Dict, Mapping
 
 import numpy as np
 from flax import serialization

@@ -10,7 +10,6 @@ writer preserves order by construction).
 
 from __future__ import annotations
 
-import struct
 from typing import Optional, Tuple
 
 import numpy as np

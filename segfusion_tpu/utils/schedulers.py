@@ -8,7 +8,6 @@ constant warmup.
 
 from __future__ import annotations
 
-import math
 from typing import Any, Callable
 
 import optax
