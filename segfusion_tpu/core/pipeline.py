@@ -155,14 +155,36 @@ class Pipeline:
                             tsdf_est, filtered_depth):
         """Static-shape analogue of _prepare_volume_update (reference
         modules/pipeline.py:137-171): first n_tail_points of each ray,
-        rays masked by depth != 0."""
+        rays masked by depth != 0. Returns lin/valid (factored fast path)
+        or indices depending on what the extraction produced."""
         t = self.n_tail_points
         upd_values = jnp.clip(tsdf_est[0, :, :t], -self.init_value,
                               self.init_value)
-        upd_indices = values.indices[:, :t]
         upd_weights = values.weights[:, :t]
         ray_mask = filtered_depth.reshape(-1) != 0.0
-        return upd_values, upd_indices, upd_weights, ray_mask
+        if values.lin is not None:
+            return (upd_values, (values.lin[:, :t], values.valid[:, :t]),
+                    upd_weights, ray_mask)
+        return upd_values, values.indices[:, :t], upd_weights, ray_mask
+
+    @staticmethod
+    def _integrate_geo(volume, upd_values, upd_idx, upd_weights, ray_mask):
+        if isinstance(upd_idx, tuple):
+            lin, valid = upd_idx
+            return integ.integrate_numw_lin(volume.num, volume.weights,
+                                            upd_values, lin, valid,
+                                            upd_weights, ray_mask)
+        return integ.integrate_numw(volume.num, volume.weights, upd_values,
+                                    upd_idx, upd_weights, ray_mask)
+
+    @staticmethod
+    def _integrate_sem(volume, sem_ids, scores, upd_idx, ray_mask):
+        if isinstance(upd_idx, tuple):
+            lin, valid = upd_idx
+            return integ.integrate_semkey_lin(volume.semkey, sem_ids,
+                                              scores, lin, valid, ray_mask)
+        return integ.integrate_semkey(volume.semkey, sem_ids, scores,
+                                      upd_idx, ray_mask)
 
     # -- jitted steps -----------------------------------------------------------
 
@@ -196,15 +218,14 @@ class Pipeline:
                                        self.use_semantics)
         tsdf_est, _ = self._network_estimate(params, batch_stats, inputs,
                                              train=False, rng=None)
-        upd_values, upd_indices, upd_weights, ray_mask = \
+        upd_values, upd_idx, upd_weights, ray_mask = \
             self._volume_update_args(values, tsdf_est, filtered)
 
-        new_num, new_w = integ.integrate_numw(
-            volume.num, volume.weights, upd_values, upd_indices,
-            upd_weights, ray_mask)
+        new_num, new_w = self._integrate_geo(volume, upd_values, upd_idx,
+                                             upd_weights, ray_mask)
         if self.semantics:
-            new_key = integ.integrate_semkey(volume.semkey, sem_ids, scores,
-                                             upd_indices, ray_mask)
+            new_key = self._integrate_sem(volume, sem_ids, scores, upd_idx,
+                                          ray_mask)
         else:
             new_key = volume.semkey
         return SceneVolume(num=new_num, weights=new_w, semkey=new_key,
@@ -266,11 +287,10 @@ class Pipeline:
         # modules/pipeline.py:360-361; semantics not updated during training
         # for speed, modules/pipeline.py:350-357 test=False)
         tsdf_est = jax.lax.stop_gradient(tsdf_est)
-        upd_values, upd_indices, upd_weights, ray_mask2 = \
+        upd_values, upd_idx, upd_weights, ray_mask2 = \
             self._volume_update_args(values, tsdf_est, filtered)
-        new_num, new_w = integ.integrate_numw(
-            volume.num, volume.weights, upd_values, upd_indices,
-            upd_weights, ray_mask2)
+        new_num, new_w = self._integrate_geo(volume, upd_values, upd_idx,
+                                             upd_weights, ray_mask2)
         new_volume = SceneVolume(num=new_num, weights=new_w,
                                  semkey=volume.semkey,
                                  origin=volume.origin,

@@ -21,7 +21,7 @@ Conventions (matching the reference):
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -236,6 +236,51 @@ def trilinear_gather_numw(points_v: jnp.ndarray, num_volume: jnp.ndarray,
     return fusion_values, fusion_weights, indices, weights
 
 
+def interpolation_corners_factored(points_v: jnp.ndarray, shape):
+    """Axis-factored corner computation: identical math to
+    :func:`interpolation_weights` + mask + linearisation, but built from
+    per-axis components (2 candidates per axis) so no (n, 8, 3) index
+    tensors or 24-way bounds checks are materialised.
+
+    Returns (lin (..., 8) int32 clamped linear indices, valid (..., 8)
+    bool, weights (..., 8) f32) with the reference corner enumeration
+    order (i outermost)."""
+    xs, ys, zs = shape
+    strides = (ys * zs, zs, 1)
+    dims = (xs, ys, zs)
+
+    idx = jnp.floor(points_v)
+    center = idx + 0.5
+    neighbor = jnp.sign(center - points_v)
+    alpha = jnp.abs(points_v - center)
+
+    comp_lin = []   # per axis: (c0*stride, c1*stride)
+    comp_val = []   # per axis: (valid0, valid1)
+    comp_w = []     # per axis: (1-alpha, alpha)
+    for a in range(3):
+        c0 = idx[..., a]
+        c1 = c0 + neighbor[..., a]
+        v0 = (c0 >= 0) & (c0 < dims[a])
+        v1 = (c1 >= 0) & (c1 < dims[a])
+        l0 = jnp.clip(c0, 0, dims[a] - 1).astype(jnp.int32) * strides[a]
+        l1 = jnp.clip(c1, 0, dims[a] - 1).astype(jnp.int32) * strides[a]
+        comp_lin.append((l0, l1))
+        comp_val.append((v0, v1))
+        comp_w.append((1.0 - alpha[..., a], alpha[..., a]))
+
+    lins, vals, ws = [], [], []
+    for i in (0, 1):
+        for j in (0, 1):
+            for k in (0, 1):
+                lins.append(comp_lin[0][i] + comp_lin[1][j]
+                            + comp_lin[2][k])
+                vals.append(comp_val[0][i] & comp_val[1][j]
+                            & comp_val[2][k])
+                ws.append(comp_w[0][i] * comp_w[1][j] * comp_w[2][k])
+    return (jnp.stack(lins, axis=-1), jnp.stack(vals, axis=-1),
+            jnp.stack(ws, axis=-1).astype(jnp.float32))
+
+
 def trilinear_gather_packed16(points_v: jnp.ndarray, num_volume: jnp.ndarray,
                               weights_volume: jnp.ndarray, init_value: float,
                               fill_value: float = INVALID_TSDF_FILL):
@@ -257,10 +302,7 @@ def trilinear_gather_packed16(points_v: jnp.ndarray, num_volume: jnp.ndarray,
         weights_volume.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
     packed = ((num16 << 16) | w16).reshape(-1)
 
-    indices, weights = interpolation_weights(points_v)
-    valid = valid_index_mask(indices, shape)
-    safe = clamp_indices(indices, shape)
-    lin = _flatten_index(safe, shape)
+    lin, valid, weights = interpolation_corners_factored(points_v, shape)
 
     g = jnp.take(packed, lin, axis=0)
     num_c = jax.lax.bitcast_convert_type(
@@ -274,18 +316,26 @@ def trilinear_gather_packed16(points_v: jnp.ndarray, num_volume: jnp.ndarray,
 
     fusion_values = jnp.sum(v_c * weights, axis=-1)
     fusion_weights = jnp.sum(w_c * weights, axis=-1)
-    return fusion_values, fusion_weights, indices, weights
+    return fusion_values, fusion_weights, lin, valid, weights
 
 
 class ExtractedValues(NamedTuple):
-    """Per-ray extraction result (reference modules/extractor.py:69-75)."""
+    """Per-ray extraction result (reference modules/extractor.py:69-75).
+
+    ``lin``/``valid`` (set by the factored packed16 path) carry the
+    clamped linear corner indices + in-bounds mask so the integrator can
+    scatter without re-deriving them; ``indices`` carries the (n, p, 8, 3)
+    form for the reference-parity surface (None on the fast path).
+    """
     fusion_values: jnp.ndarray    # (h*w, n_points)
     fusion_weights: jnp.ndarray   # (h*w, n_points)
     points: jnp.ndarray           # (h*w, n_points, 3) voxel space
     depth: jnp.ndarray            # (h*w,)
-    indices: jnp.ndarray          # (h*w, n_points, 8, 3)
+    indices: Optional[jnp.ndarray]  # (h*w, n_points, 8, 3) or None
     weights: jnp.ndarray          # (h*w, n_points, 8)
     pcl: jnp.ndarray              # (h*w, 3) world-space surface points
+    lin: Optional[jnp.ndarray] = None    # (h*w, n_points, 8) int32
+    valid: Optional[jnp.ndarray] = None  # (h*w, n_points, 8) bool
 
 
 @functools.partial(jax.jit, static_argnames=("n_points",))
@@ -333,8 +383,15 @@ def extract_numw(depth: jnp.ndarray, extrinsics: jnp.ndarray,
     eye_w = extrinsics[:3, 3].astype(jnp.float32)
     points_v, _ = sample_ray_points(points_w, eye_w, origin, resolution,
                                     n_points)
-    gather = trilinear_gather_packed16 if packed16 else trilinear_gather_numw
-    fusion_values, fusion_weights, indices, weights = gather(
+    if packed16:
+        fusion_values, fusion_weights, lin, valid, weights = \
+            trilinear_gather_packed16(points_v, num_volume, weights_volume,
+                                      init_value)
+        return ExtractedValues(
+            fusion_values=fusion_values, fusion_weights=fusion_weights,
+            points=points_v, depth=depth.reshape(h * w), indices=None,
+            weights=weights, pcl=points_w, lin=lin, valid=valid)
+    fusion_values, fusion_weights, indices, weights = trilinear_gather_numw(
         points_v, num_volume, weights_volume, init_value)
     return ExtractedValues(
         fusion_values=fusion_values,

@@ -238,3 +238,42 @@ def integrate_frame(tsdf_volume, weights_volume, semantics_volume, scores_volume
     else:
         new_ids, new_scores = semantics_volume, scores_volume
     return IntegrationResult(new_tsdf, new_w, new_ids, new_scores)
+
+
+def integrate_numw_lin(num_volume: jnp.ndarray, w_volume: jnp.ndarray,
+                       values: jnp.ndarray, lin: jnp.ndarray,
+                       valid: jnp.ndarray, weights: jnp.ndarray,
+                       mask: Optional[jnp.ndarray] = None):
+    """:func:`integrate_numw` taking pre-linearised clamped corner indices +
+    validity from the factored extraction path
+    (geometry.interpolation_corners_factored) -- no (n, p, 8, 3) index
+    re-derivation."""
+    shape = num_volume.shape
+    if mask is not None:
+        valid = valid & mask[:, None, None]
+    w = jnp.where(valid, weights.astype(jnp.float32), 0.0)
+    lin_flat = lin.reshape(-1)
+    w_flat = w.reshape(-1)
+    wv_flat = (w * values.astype(jnp.float32)[:, :, None]).reshape(-1)
+    new_w = w_volume.reshape(-1).at[lin_flat].add(w_flat).reshape(shape)
+    new_num = num_volume.reshape(-1).at[lin_flat].add(wv_flat).reshape(shape)
+    return new_num, new_w
+
+
+def integrate_semkey_lin(semkey_volume: jnp.ndarray, ids: jnp.ndarray,
+                         scores: jnp.ndarray, lin: jnp.ndarray,
+                         valid: jnp.ndarray,
+                         mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """:func:`integrate_semkey` over pre-linearised corner indices."""
+    shape = semkey_volume.shape
+    n, p = lin.shape[0], lin.shape[1]
+    if ids.ndim == 1:
+        ids = jnp.broadcast_to(ids[:, None], (n, p))
+        scores = jnp.broadcast_to(scores[:, None], (n, p))
+    if mask is not None:
+        valid = valid & mask[:, None, None]
+    key_new = pack_semantic_key(scores, ids)
+    key_new = jnp.broadcast_to(key_new[:, :, None], (n, p, 8))
+    key_new = jnp.where(valid, key_new, 0)
+    return semkey_volume.reshape(-1).at[lin.reshape(-1)].max(
+        key_new.reshape(-1)).reshape(shape)

@@ -99,11 +99,60 @@ def test_packed16_gather_matches_f32_within_f16_tolerance():
 
     fv32, fw32, i32, w32 = G.trilinear_gather_numw(
         jnp.asarray(pts), jnp.asarray(num), jnp.asarray(w), init)
-    fv16, fw16, i16, w16 = G.trilinear_gather_packed16(
+    fv16, fw16, lin16, valid16, w16 = G.trilinear_gather_packed16(
         jnp.asarray(pts), jnp.asarray(num), jnp.asarray(w), init)
-    np.testing.assert_array_equal(np.asarray(i32), np.asarray(i16))
+    np.testing.assert_allclose(np.asarray(w16), np.asarray(w32), atol=1e-6)
     # f16 quantisation of num/w: values agree to ~1e-3 relative
     np.testing.assert_allclose(np.asarray(fv16), np.asarray(fv32),
                                atol=2e-3)
     np.testing.assert_allclose(np.asarray(fw16), np.asarray(fw32),
                                atol=2e-2, rtol=1e-3)
+
+
+def test_factored_corners_match_reference_scheme():
+    rng = np.random.RandomState(4)
+    shape = (6, 7, 8)
+    pts = rng.uniform(-1.5, 9.0, (80, 3, 3)).astype(np.float32)
+
+    idx, w_ref = G.interpolation_weights(jnp.asarray(pts))
+    valid_ref = G.valid_index_mask(idx, shape)
+    lin_ref = G._flatten_index(G.clamp_indices(idx, shape), shape)
+
+    lin, valid, w = G.interpolation_corners_factored(jnp.asarray(pts), shape)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(valid_ref))
+    # linear indices agree wherever the corner is valid (clamping of OOB
+    # corners may differ per-axis, but those lanes carry zero weight)
+    v = np.asarray(valid)
+    np.testing.assert_array_equal(np.asarray(lin)[v],
+                                  np.asarray(lin_ref)[v])
+
+
+def test_lin_integrate_matches_indices_integrate():
+    import segfusion_tpu.ops.integrate as I2
+    rng = np.random.RandomState(5)
+    shape = (6, 7, 8)
+    pts = rng.uniform(-1.0, 9.0, (40, 3, 3)).astype(np.float32)
+    idx, tri_w = G.interpolation_weights(jnp.asarray(pts))
+    lin, valid, tri_w2 = G.interpolation_corners_factored(jnp.asarray(pts),
+                                                          shape)
+    values = rng.uniform(-0.1, 0.1, (40, 3)).astype(np.float32)
+    mask = rng.rand(40) > 0.3
+    num = jnp.zeros(shape, jnp.float32)
+    w = jnp.zeros(shape, jnp.float32)
+
+    n1, w1 = I2.integrate_numw(num, w, jnp.asarray(values), idx, tri_w,
+                               jnp.asarray(mask))
+    n2, w2 = I2.integrate_numw_lin(num, w, jnp.asarray(values), lin, valid,
+                                   tri_w2, jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(n2), np.asarray(n1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(w2), np.asarray(w1), atol=1e-5)
+
+    ids = rng.randint(0, 9, 40).astype(np.uint8)
+    sc = rng.rand(40).astype(np.float32)
+    k1 = I2.integrate_semkey(jnp.zeros(shape, jnp.int32), jnp.asarray(ids),
+                             jnp.asarray(sc), idx, jnp.asarray(mask))
+    k2 = I2.integrate_semkey_lin(jnp.zeros(shape, jnp.int32),
+                                 jnp.asarray(ids), jnp.asarray(sc), lin,
+                                 valid, jnp.asarray(mask))
+    np.testing.assert_array_equal(np.asarray(k2), np.asarray(k1))
