@@ -271,6 +271,41 @@ class Database:
             return eval_results, per_scene
         return eval_results
 
+    def evaluate_fscore(self, threshold: float = 0.05, mode="test",
+                        workspace=None):
+        """Mesh reconstruction F-score: marching-cubes meshes of the
+        estimated and ground-truth TSDFs compared at a distance threshold
+        (meters). The paper's headline metric (README.md:6), not computed
+        anywhere in the reference repo (SURVEY.md §6)."""
+        from ..native.mcubes import marching_cubes
+        results = {}
+        agg = {"fscore": 0.0, "precision": 0.0, "recall": 0.0}
+        n = 0
+        for s in self.scenes:
+            if not self.state[s]:
+                continue
+            voxel = self.resolution[s]
+            try:
+                ev, ef, _ = marching_cubes(
+                    self._crop(self.volumes[s].tsdf, s).astype(np.float32),
+                    0.0, spacing=voxel)
+                gv, gf, _ = marching_cubes(
+                    np.asarray(self._crop(self.scenes_gt[s], s),
+                               np.float32), 0.0, spacing=voxel)
+            except ValueError:
+                continue  # no zero crossing
+            r = metrics_lib.fscore(ev, gv, threshold=threshold)
+            results[s] = r
+            for k in agg:
+                agg[k] += r[k]
+            n += 1
+            if workspace is not None:
+                workspace.log(f"F-score {s}: {r}", mode)
+        if n:
+            for k in agg:
+                agg[k] /= n
+        return agg, results
+
     def evaluate_semantics(self, mode="train", workspace=None):
         """Semantic metrics over observed voxels
         (reference modules/database.py:311-349)."""

@@ -93,6 +93,14 @@ def test_fusion(config):
     workspace.log("--- geometry metrics ---", "test")
     for k, v in eval_results.items():
         workspace.log(f"{k}: {v}", "test")
+    fscore_thr = float(config.TESTING.get("fscore_threshold", 0.05) or 0.05)
+    f_agg, _ = database.evaluate_fscore(threshold=fscore_thr,
+                                        workspace=workspace)
+    workspace.log("--- reconstruction F-score "
+                  f"(tau={fscore_thr}m) ---", "test")
+    for k, v in f_agg.items():
+        workspace.log(f"{k}: {v}", "test")
+        eval_results[f"mesh_{k}"] = v
     if config.DATA.semantics and config.DATA.get("semantic_grid"):
         sem_results, cls_iou = database.evaluate_semantics("test", workspace)
         workspace.log("--- semantic metrics ---", "test")
