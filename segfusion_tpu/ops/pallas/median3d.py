@@ -42,14 +42,14 @@ def _median_kernel(in_hbm, out_ref, size: int, tx: int, ty: int, tz: int):
         dma.wait()
 
         tile = scratch[:]
-        # neighborhood stack: (size^3, tx, ty, tz) -- all in VMEM
+        # neighborhood stack: (size^3, tx, ty, tz) -- all in VMEM; offsets
+        # are Python ints so the slices are static (Mosaic has no
+        # dynamic_slice lowering)
         views = []
         for dx in range(size):
             for dy in range(size):
                 for dz in range(size):
-                    views.append(
-                        jax.lax.dynamic_slice(tile, (dx, dy, dz),
-                                              (tx, ty, tz)))
+                    views.append(tile[dx:dx + tx, dy:dy + ty, dz:dz + tz])
         stack = jnp.stack(views, axis=0)
         med = jnp.sort(stack, axis=0)[size ** 3 // 2]
         out_ref[:] = med
