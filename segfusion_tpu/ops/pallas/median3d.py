@@ -24,6 +24,26 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["median_filter3d_pallas"]
 
 
+def _radix_median_axis0(stack: jnp.ndarray, k: int,
+                        n_bits: int = 8) -> jnp.ndarray:
+    """Median along axis 0 by bitwise radix selection: find the smallest x
+    with |{v : v <= x}| > k//2, one bit at a time (n_bits passes of
+    vectorised compare+count -- no sort primitive needed, exact for
+    integer-valued data such as label volumes)."""
+    s = stack.astype(jnp.int32)
+    rank = k // 2  # 0-indexed median position for odd k
+    x = jnp.zeros(stack.shape[1:], jnp.int32)
+    for bit in range(n_bits - 1, -1, -1):
+        y = x + (1 << bit)
+        # count of elements strictly below the candidate
+        cnt = jnp.zeros(stack.shape[1:], jnp.int32)
+        for i in range(k):
+            cnt = cnt + (s[i] < y).astype(jnp.int32)
+        # if fewer than rank+1 elements lie below y, the median has this bit
+        x = jnp.where(cnt <= rank, y, x)
+    return x
+
+
 def _median_kernel(in_hbm, out_ref, size: int, tx: int, ty: int, tz: int):
     r = size // 2
 
@@ -51,8 +71,9 @@ def _median_kernel(in_hbm, out_ref, size: int, tx: int, ty: int, tz: int):
                 for dz in range(size):
                     views.append(tile[dx:dx + tx, dy:dy + ty, dz:dz + tz])
         stack = jnp.stack(views, axis=0)
-        med = jnp.sort(stack, axis=0)[size ** 3 // 2]
-        out_ref[:] = med
+        # Mosaic has no sort either: rank-select the median bitwise
+        med = _radix_median_axis0(stack, size ** 3)
+        out_ref[:] = med.astype(jnp.float32)
 
     pl.run_scoped(
         body,
@@ -66,10 +87,14 @@ def median_filter3d_pallas(volume: jnp.ndarray, size: int = 5,
                            interpret: bool = False) -> jnp.ndarray:
     """3D median filter (edge-replicated) via a tiled Pallas kernel.
 
-    Semantically identical to ops.filters.median_filter3d. Works on any
-    dtype (computes in f32).
+    Semantically identical to ops.filters.median_filter3d for
+    INTEGER-VALUED volumes (the label-volume use case,
+    Database.filter_semantics): the in-kernel rank selection is a bitwise
+    radix select, exact for integers. Use the XLA version for float data.
     """
     assert size % 2 == 1
+    assert jnp.issubdtype(volume.dtype, jnp.integer), \
+        "pallas median kernel supports integer (label) volumes"
     r = size // 2
     orig_dtype = volume.dtype
     xs, ys, zs = volume.shape
