@@ -99,7 +99,9 @@ def median_filter3d_pallas(volume: jnp.ndarray, size: int = 5,
     orig_dtype = volume.dtype
     xs, ys, zs = volume.shape
 
-    tx, ty, tz = 8, 8, 128
+    # choose tile sizes so the halo'd scratch (tx+2r, ty+2r, tz+2r) lands
+    # on Mosaic's (8, 128) tiling in its trailing dims
+    tx, ty, tz = 8, 8 - 2 * r, 128 - 2 * r
     px = -xs % tx
     py = -ys % ty
     pz = -zs % tz
