@@ -10,6 +10,12 @@ the whole neighborhood rank-selection on the VPU, cutting HBM traffic by
 The grid walks output tiles; the input stays in HBM (memory_space=ANY) and
 the halo'd region is copied per tile with an explicit async DMA
 (pallas_guide.md: Async DMA / run_scoped patterns).
+
+Status: exact-match validated against the XLA formulation in interpret
+mode (tests/test_pallas_median.py). Compiled-TPU execution is blocked in
+the current build environment by an opaque remote-compile-helper crash
+(trivial and DMA-pattern Pallas kernels compile fine through the same
+path); Database.filter_semantics uses the XLA version meanwhile.
 """
 
 from __future__ import annotations
@@ -46,6 +52,10 @@ def _radix_median_axis0(stack: jnp.ndarray, k: int,
 
 def _median_kernel(in_hbm, out_ref, size: int, tx: int, ty: int, tz: int):
     r = size // 2
+    # scratch is over-allocated to Mosaic-aligned trailing dims; the DMA
+    # fills only the halo'd region
+    sy = -(-(ty + 2 * r) // 8) * 8
+    sz = -(-(tz + 2 * r) // 128) * 128
 
     # program ids read outside run_scoped (its lowering has no grid frame)
     i = pl.program_id(0)
@@ -57,7 +67,7 @@ def _median_kernel(in_hbm, out_ref, size: int, tx: int, ty: int, tz: int):
             in_hbm.at[pl.ds(i * tx, tx + 2 * r),
                       pl.ds(j * ty, ty + 2 * r),
                       pl.ds(k * tz, tz + 2 * r)],
-            scratch, sem)
+            scratch.at[:, : ty + 2 * r, : tz + 2 * r], sem)
         dma.start()
         dma.wait()
 
@@ -77,7 +87,7 @@ def _median_kernel(in_hbm, out_ref, size: int, tx: int, ty: int, tz: int):
 
     pl.run_scoped(
         body,
-        pltpu.VMEM((tx + 2 * r, ty + 2 * r, tz + 2 * r), jnp.float32),
+        pltpu.VMEM((tx + 2 * r, sy, sz), jnp.float32),
         pltpu.SemaphoreType.DMA(()),
     )
 
@@ -99,9 +109,9 @@ def median_filter3d_pallas(volume: jnp.ndarray, size: int = 5,
     orig_dtype = volume.dtype
     xs, ys, zs = volume.shape
 
-    # choose tile sizes so the halo'd scratch (tx+2r, ty+2r, tz+2r) lands
-    # on Mosaic's (8, 128) tiling in its trailing dims
-    tx, ty, tz = 8, 8 - 2 * r, 128 - 2 * r
+    # output blocks must be (.., 8k, 128m)-aligned on TPU; scratch is
+    # over-allocated inside the kernel
+    tx, ty, tz = 8, 8, 128
     px = -xs % tx
     py = -ys % ty
     pz = -zs % tz
