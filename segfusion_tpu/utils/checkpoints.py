@@ -17,7 +17,8 @@ import numpy as np
 from flax import serialization
 
 __all__ = ["save_checkpoint", "load_checkpoint", "remove_parent",
-           "select_child", "separate_pipeline"]
+           "select_child", "separate_pipeline", "save_checkpoint_orbax",
+           "load_checkpoint_orbax"]
 
 
 def _to_host(tree):
@@ -90,3 +91,31 @@ def separate_pipeline(pipeline_ckpt_path: str, fusion_out_path: str,
     }
     save_checkpoint(fusion, fusion_out_path)
     return fusion
+
+
+# ---------------------------------------------------------------------------
+# orbax backend: async, multi-host/sharded-array capable checkpoints
+# ---------------------------------------------------------------------------
+
+def save_checkpoint_orbax(state: Dict[str, Any], path: str,
+                          wait: bool = True):
+    """Save via orbax StandardCheckpointer (a directory checkpoint).
+
+    Use for multi-chip runs where params/volumes are sharded jax.Arrays --
+    orbax writes each shard from its owning host; the msgpack backend is
+    the simple single-host default."""
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), serialization.to_state_dict(state),
+               force=True)
+    if wait:
+        ckptr.wait_until_finished()
+
+
+def load_checkpoint_orbax(path: str, template=None) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    if template is not None:
+        return ckptr.restore(os.path.abspath(path),
+                             serialization.to_state_dict(template))
+    return ckptr.restore(os.path.abspath(path))

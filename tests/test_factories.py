@@ -72,3 +72,15 @@ def test_config_defaults_and_modes(tmp_path):
     assert d.mode == "train"
     with pytest.raises(ValueError):
         get_data_config(cfg, "bogus")
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from segfusion_tpu.utils.checkpoints import (load_checkpoint_orbax,
+                                                 save_checkpoint_orbax)
+    state = {"params": {"w": jnp.arange(4.0)}, "epoch": 3}
+    p = str(tmp_path / "ck_orbax")
+    save_checkpoint_orbax(state, p)
+    out = load_checkpoint_orbax(p)
+    assert int(out["epoch"]) == 3
+    np.testing.assert_allclose(np.asarray(out["params"]["w"]),
+                               np.arange(4.0))
