@@ -47,11 +47,17 @@ class ScanNet:
             str(self.root_dir or "."), "scannetv2-labels.combined.tsv")
         self.label_map = scannet_to_nyu40_map(tsv)
 
+        self.load_strategy = config_data.get("data_load_strategy", "hybrid")
         self._scenes: List[str] = []
         self._scene_dirs = {}
         self._index: List[str] = []
         self.intrinsics = {}
         self._build_index()
+        if self.load_strategy == "max_depth_diversity":
+            # interleave all scenes by frame index (reference
+            # dataset/scannet.py flat ordering; 'hybrid' keeps scenes
+            # consecutive, which also maximises scan-chunk efficiency here)
+            self._index.sort(key=lambda fid: int(fid.rsplit("/", 1)[1]))
 
     def _build_index(self):
         with open(self.scene_list) as f:
