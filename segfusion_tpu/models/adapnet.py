@@ -112,8 +112,11 @@ class BottleneckSSMA(nn.Module):
 class Encoder(nn.Module):
     """ResNet-50 encoder with the AdapNet++ surgery (reference
     modules/adapnet.py:87-149). Output stride 16; returns
-    (features 2048ch @ /16, skip2 24ch @ /4, skip1 24ch @ /8)."""
+    (features 2048ch @ /16, skip2 24ch @ /4, skip1 24ch @ /8).
+    ``resn50_dropout`` gates the layer3[2] dropout (the reference's
+    no_resn50_dropout() toggle, adapnet.py:386-388)."""
     dtype: Any = None
+    resn50_dropout: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -145,7 +148,8 @@ class Encoder(nn.Module):
         x = Bottleneck(256, dtype=dt)(x, train)
         for i, r2 in enumerate((2, 16, 8, 4)):
             x = BottleneckSSMA(mid=256, r1=1, r2=r2, d3=256, out=1024,
-                               drop_out=(i == 0), dtype=dt)(x, train)
+                               drop_out=(i == 0 and self.resn50_dropout),
+                               dtype=dt)(x, train)
 
         # layer4: stride removed, 3 multi-dilation blocks (adapnet.py:118-130)
         x = BottleneckSSMA(mid=512, r1=2, r2=4, d3=512, out=2048,
@@ -283,20 +287,22 @@ class AdapNet(nn.Module):
     n_classes: int
     stage: int = 1
     dtype: Any = None
+    resn50_dropout: bool = True  # reference no_resn50_dropout() toggle
 
     @nn.compact
     def __call__(self, mod1, mod2=None, train: bool = False):
         dt = self.dtype
+        rd = self.resn50_dropout
         if self.stage == 1:
-            x, skip2, skip1 = Encoder(name="encoder_mod1", dtype=dt)(mod1,
-                                                                     train)
+            x, skip2, skip1 = Encoder(name="encoder_mod1", dtype=dt,
+                                      resn50_dropout=rd)(mod1, train)
             x = EASPP(name="eASPP", dtype=dt)(x, train)
         else:
             assert mod2 is not None, "stage-2 AdapNet needs two modalities"
-            m1, s2_1, s1_1 = Encoder(name="encoder_mod1", dtype=dt)(mod1,
-                                                                    train)
-            m2, s2_2, s1_2 = Encoder(name="encoder_mod2", dtype=dt)(mod2,
-                                                                    train)
+            m1, s2_1, s1_1 = Encoder(name="encoder_mod1", dtype=dt,
+                                     resn50_dropout=rd)(mod1, train)
+            m2, s2_2, s1_2 = Encoder(name="encoder_mod2", dtype=dt,
+                                     resn50_dropout=rd)(mod2, train)
             m1 = EASPP(name="eASPP_mod1", dtype=dt)(m1, train)
             m2 = EASPP(name="eASPP_mod2", dtype=dt)(m2, train)
             skip2 = SSMA(24, 6, name="ssma_s2", dtype=dt)(s2_1, s2_2, train)
@@ -317,7 +323,8 @@ def build_adapnet(config: Any) -> AdapNet:
         dtype = jnp.bfloat16
     return AdapNet(n_classes=int(config.n_classes),
                    stage=int(config.get("stage", 1)),
-                   dtype=dtype)
+                   dtype=dtype,
+                   resn50_dropout=bool(config.get("resn50_dropout", True)))
 
 
 class SegmenterAdapter:

@@ -74,3 +74,27 @@ def test_checkpoint_roundtrip_through_cli(tmp_workspace, tmp_path):
     config2.TESTING.fusion_model_path = ckpt
     results = test_fusion_cli.test_fusion(config2)
     assert np.isfinite(results["mse"])
+
+
+def test_train_fusion_resume(tmp_workspace, tmp_path):
+    """TRAINING.resume restores params/opt state and continues."""
+    import train_fusion
+    config = load_config(CFG)
+    config.SETTINGS.experiment_path = tmp_workspace
+    config.SETTINGS.eval_freq = 10
+    config.TRAINING.n_epochs = 1
+    train_fusion.train_fusion({"comment": ""}, config)
+    last = os.path.join(tmp_workspace, config.TIMESTAMP, "model",
+                        "last.ckpt")
+    assert os.path.exists(last)
+
+    config2 = load_config(CFG)
+    config2.SETTINGS.experiment_path = str(tmp_path / "resumed")
+    config2.SETTINGS.eval_freq = 10
+    config2.TRAINING.n_epochs = 2       # resume at epoch 1, run one more
+    config2.TRAINING.resume = last
+    train_fusion.train_fusion({"comment": ""}, config2)
+    log = open(os.path.join(str(tmp_path / "resumed"), config2.TIMESTAMP,
+                            "logs", "train.log")).read()
+    assert "resumed from" in log
+    assert "Training epoch 1/2" in log
