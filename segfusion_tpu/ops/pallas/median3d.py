@@ -50,12 +50,19 @@ def _radix_median_axis0(stack: jnp.ndarray, k: int,
     return x
 
 
-def _median_kernel(in_hbm, out_ref, size: int, tx: int, ty: int, tz: int):
+def _fetch_shape(size: int, tx: int, ty: int, tz: int):
+    """Aligned DMA fetch extents covering the halo'd tile: this build
+    environment's Mosaic compiler crashes on ANY unaligned 3-D DMA size
+    (bisected), so fetch an aligned superset from an aligned start."""
     r = size // 2
-    # scratch is over-allocated to Mosaic-aligned trailing dims; the DMA
-    # fills only the halo'd region
-    sy = -(-(ty + 2 * r) // 8) * 8
-    sz = -(-(tz + 2 * r) // 128) * 128
+    fx = -(-(tx + 2 * r) // 8) * 8
+    fy = -(-(ty + 2 * r) // 8) * 8
+    fz = -(-(tz + 2 * r) // 128) * 128
+    return fx, fy, fz
+
+
+def _median_kernel(in_hbm, out_ref, size: int, tx: int, ty: int, tz: int):
+    fx, fy, fz = _fetch_shape(size, tx, ty, tz)
 
     # program ids read outside run_scoped (its lowering has no grid frame)
     i = pl.program_id(0)
@@ -64,10 +71,10 @@ def _median_kernel(in_hbm, out_ref, size: int, tx: int, ty: int, tz: int):
 
     def body(scratch, sem):
         dma = pltpu.make_async_copy(
-            in_hbm.at[pl.ds(i * tx, tx + 2 * r),
-                      pl.ds(j * ty, ty + 2 * r),
-                      pl.ds(k * tz, tz + 2 * r)],
-            scratch.at[:, : ty + 2 * r, : tz + 2 * r], sem)
+            in_hbm.at[pl.ds(i * tx, fx),
+                      pl.ds(j * ty, fy),
+                      pl.ds(k * tz, fz)],
+            scratch, sem)
         dma.start()
         dma.wait()
 
@@ -87,7 +94,7 @@ def _median_kernel(in_hbm, out_ref, size: int, tx: int, ty: int, tz: int):
 
     pl.run_scoped(
         body,
-        pltpu.VMEM((tx + 2 * r, sy, sz), jnp.float32),
+        pltpu.VMEM((fx, fy, fz), jnp.float32),
         pltpu.SemaphoreType.DMA(()),
     )
 
@@ -109,19 +116,26 @@ def median_filter3d_pallas(volume: jnp.ndarray, size: int = 5,
     orig_dtype = volume.dtype
     xs, ys, zs = volume.shape
 
-    # output blocks must be (.., 8k, 128m)-aligned on TPU; scratch is
-    # over-allocated inside the kernel
+    # output blocks must be (.., 8k, 128m)-aligned on TPU; the kernel
+    # fetches an aligned superset region per tile from an aligned start
+    # (this environment's Mosaic crashes on unaligned 3-D DMA extents)
     tx, ty, tz = 8, 8, 128
+    fx, fy, fz = _fetch_shape(size, tx, ty, tz)
+    # output padding: round each dim up to the tile size
     px = -xs % tx
     py = -ys % ty
     pz = -zs % tz
-    # halo padding (edge mode) + tile round-up padding
-    vol = jnp.pad(volume.astype(jnp.float32),
-                  ((r, r + px), (r, r + py), (r, r + pz)), mode="edge")
-
     gx = (xs + px) // tx
     gy = (ys + py) // ty
     gz = (zs + pz) // tz
+    # input: front halo r, back padding so the last tile's aligned fetch
+    # ((g-1)*t .. (g-1)*t + f) stays in bounds
+    bx = (gx - 1) * tx + fx - (r + xs)
+    by = (gy - 1) * ty + fy - (r + ys)
+    bz = (gz - 1) * tz + fz - (r + zs)
+    vol = jnp.pad(volume.astype(jnp.float32),
+                  ((r, max(bx, 0)), (r, max(by, 0)), (r, max(bz, 0))),
+                  mode="edge")
 
     grid_spec = pl.GridSpec(
         grid=(gx, gy, gz),
