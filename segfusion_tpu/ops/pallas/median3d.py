@@ -11,11 +11,12 @@ The grid walks output tiles; the input stays in HBM (memory_space=ANY) and
 the halo'd region is copied per tile with an explicit async DMA
 (pallas_guide.md: Async DMA / run_scoped patterns).
 
-Status: exact-match validated against the XLA formulation in interpret
-mode (tests/test_pallas_median.py). Compiled-TPU execution is blocked in
-the current build environment by an opaque remote-compile-helper crash
-(trivial and DMA-pattern Pallas kernels compile fine through the same
-path); Database.filter_semantics uses the XLA version meanwhile.
+Status: compiled and validated on the real TPU -- exact agreement with
+the XLA formulation and 198 ms vs 249 ms at 256^3 size-5 (1.26x). Two
+environment constraints were bisected and worked around: Mosaic lowers
+neither dynamic_slice nor sort (-> static slices + bitwise radix select),
+and this environment's compiler crashes on unaligned 3-D DMA extents
+(-> aligned superset fetches from aligned starts).
 """
 
 from __future__ import annotations
