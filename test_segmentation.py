@@ -89,6 +89,13 @@ def test(config):
         pred = np.asarray(eval_step(inputs))
         score.update(target, pred)
 
+        # ScanNet-benchmark-format 2D predictions
+        # (reference dataset/scannet.py:361-368, test-time output)
+        if config.TESTING.get("output_benchmark") and \
+                hasattr(dataset, "output_test"):
+            bench_dir = os.path.join(workspace.output_path, "benchmark")
+            dataset.output_test(bench_dir, batch["frame_id"][0], pred[0])
+
         if i < n_vis:  # input | depth | gt | est strip
             img = np.asarray(batch["image"])[0]
             img = np.clip(img - img.min(), 0, None)
