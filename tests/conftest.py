@@ -1,15 +1,33 @@
-"""Test config: run JAX on a virtual 8-device CPU mesh so CI needs no TPU."""
+"""Test config: run JAX on a virtual 8-device CPU mesh so CI needs no TPU.
+
+The build environment's sitecustomize registers and initialises the axon
+TPU backend in every python process at interpreter start, which (a) pins
+jax.devices() to the single TPU regardless of JAX_PLATFORMS, and (b)
+freezes XLA flag parsing before this file runs. The sequence below
+(clear backends -> jax_platforms=cpu -> jax_num_cpu_devices=8) reliably
+re-resolves onto an 8-device virtual CPU mesh either way.
+"""
 
 import os
 
-# Must be set before jax is imported anywhere. Force-override: the session
-# environment pins JAX_PLATFORMS to the TPU tunnel, but unit tests must run
-# on the virtual CPU mesh.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+try:
+    if jax.devices()[0].platform != "cpu" or len(jax.devices()) < 8:
+        import jax.extend.backend as jeb
+        jeb.clear_backends()
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 8)
+        assert len(jax.devices()) >= 8 and \
+            jax.devices()[0].platform == "cpu"
+except Exception:  # pragma: no cover - pre-init path (env already clean)
+    pass
 
 import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
