@@ -140,7 +140,7 @@ def median_filter3d_pallas(volume: jnp.ndarray, size: int = 5,
 
     grid_spec = pl.GridSpec(
         grid=(gx, gy, gz),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((tx, ty, tz),
                                lambda i, j, k: (i, j, k),
                                memory_space=pltpu.VMEM),

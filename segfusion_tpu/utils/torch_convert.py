@@ -9,9 +9,14 @@ these architectures), so flattening both sides in order and pairing
 conv<->Conv and BN<->BatchNorm entries gives an exact 1:1 mapping without a
 hand-written name table. Conv kernels are transposed OIHW -> HWIO.
 
-Covers FusionNet v1/v2/v3 (reference modules/model.py). The AdapNet++
-encoder registers skip convs before the backbone, breaking pure order
-matching -- AdapNet conversion is intentionally not claimed here.
+Covers FusionNet v1/v2/v3 (reference modules/model.py) via pure order
+matching. AdapNet++ registers skip convs out of execution order, so
+``convert_adapnet_state_dict`` (below) instead uses an explicit
+name-prefix table per submodule; it is parity-tested in
+tests/test_adapnet_parity.py. ``convert_resnet50_encoder`` imports a
+torchvision resnet50 state_dict into the surgically-modified Encoder
+(reference modules/adapnet.py:87-149) for ImageNet-initialised stage-1
+training.
 """
 
 from __future__ import annotations
@@ -21,7 +26,8 @@ from typing import Any, Dict, List, Tuple
 
 import numpy as np
 
-__all__ = ["convert_fusionnet_state_dict", "load_torch_checkpoint"]
+__all__ = ["convert_fusionnet_state_dict", "convert_adapnet_state_dict",
+           "convert_resnet50_encoder", "load_torch_checkpoint"]
 
 
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
@@ -393,3 +399,116 @@ def convert_adapnet_state_dict(torch_state: Dict[str, np.ndarray],
         raise KeyError(f"unconverted flax leaves: {missing[:8]}"
                        f"{' ...' if len(missing) > 8 else ''}")
     return new_params, new_stats
+
+
+# ---------------------------------------------------------------------------
+# torchvision ResNet-50 -> Encoder import (ImageNet init for stage-1
+# segmentation training, matching the reference's pretrained=True surgery)
+# ---------------------------------------------------------------------------
+
+def _resnet50_surviving_map(prefix: str):
+    """torchvision-resnet50 state_dict name -> (flax path, kind) for the
+    weights that SURVIVE the reference's encoder surgery
+    (reference modules/adapnet.py:101-130):
+
+      * layer1.[0-2], layer2.[0-2], layer3.[0-1]: intact bottlenecks
+      * layer2.3, layer3.[2-5], layer4.[0-2]: replaced by multi-dilation
+        units that keep only the original conv1/bn1 (copy_from,
+        adapnet.py:43-44)
+      * layer4.0.downsample: kept with its stride forced to 1
+        (adapnet.py:125-126; 1x1 kernel, weights unchanged)
+
+    NOT imported (fresh init, as in the reference): the stem conv1/bn1
+    (re-created at adapnet.py:103-104), the skip convs, the dilated
+    branch convs (conv2a/b, conv3) of replaced units, and the fc head."""
+    m = {}
+
+    def bottleneck(t, f):
+        m[f"{t}.conv1"] = (f + ("Conv_0",), "conv")
+        m[f"{t}.bn1"] = (f + ("BatchNorm_0",), "bn")
+        m[f"{t}.conv2"] = (f + ("Conv_1",), "conv")
+        m[f"{t}.bn2"] = (f + ("BatchNorm_1",), "bn")
+        m[f"{t}.conv3"] = (f + ("Conv_2",), "conv")
+        m[f"{t}.bn3"] = (f + ("BatchNorm_2",), "bn")
+        m[f"{t}.downsample.0"] = (f + ("downsample_conv",), "conv")
+        m[f"{t}.downsample.1"] = (f + ("BatchNorm_3",), "bn")
+
+    for i in range(3):
+        bottleneck(f"layer1.{i}", (prefix, f"Bottleneck_{i}"))
+    for i in range(3):
+        bottleneck(f"layer2.{i}", (prefix, f"Bottleneck_{3 + i}"))
+    m["layer2.3.conv1"] = ((prefix, "BottleneckSSMA_0", "Conv_0"), "conv")
+    m["layer2.3.bn1"] = ((prefix, "BottleneckSSMA_0", "BatchNorm_0"), "bn")
+    for i in range(2):
+        bottleneck(f"layer3.{i}", (prefix, f"Bottleneck_{6 + i}"))
+    for i in range(4):
+        f = (prefix, f"BottleneckSSMA_{1 + i}")
+        m[f"layer3.{2 + i}.conv1"] = (f + ("Conv_0",), "conv")
+        m[f"layer3.{2 + i}.bn1"] = (f + ("BatchNorm_0",), "bn")
+    for i in range(3):
+        f = (prefix, f"BottleneckSSMA_{5 + i}")
+        m[f"layer4.{i}.conv1"] = (f + ("Conv_0",), "conv")
+        m[f"layer4.{i}.bn1"] = (f + ("BatchNorm_0",), "bn")
+    m["layer4.0.downsample.0"] = ((prefix, "BottleneckSSMA_5",
+                                   "downsample_conv"), "conv")
+    m["layer4.0.downsample.1"] = ((prefix, "BottleneckSSMA_5",
+                                   "BatchNorm_4"), "bn")
+    return m
+
+
+def convert_resnet50_encoder(torch_state: Dict[str, np.ndarray],
+                             flax_params, flax_batch_stats,
+                             encoders=("encoder_mod1",)):
+    """Import a torchvision resnet50 ``state_dict`` into the Encoder
+    submodule(s) of an AdapNet params/batch_stats tree, seeding stage-1
+    training from ImageNet weights like the reference
+    (modules/adapnet.py:101, resnet50(pretrained=True)).
+
+    Only the weights that survive the reference's surgery are written
+    (see _resnet50_surviving_map); everything else keeps its fresh init.
+    Returns (params, batch_stats, n_imported_arrays); raises on shape
+    mismatch or if nothing could be imported."""
+    import jax
+
+    new_params = jax.tree_util.tree_map(np.asarray, flax_params)
+    new_stats = jax.tree_util.tree_map(np.asarray, flax_batch_stats)
+
+    def set_leaf(tree, path, value):
+        node = tree
+        for p in path[:-1]:
+            if p not in node:
+                raise KeyError(f"no flax node {'/'.join(path)}")
+            node = node[p]
+        old = node[path[-1]]
+        if tuple(old.shape) != tuple(value.shape):
+            raise ValueError(f"shape mismatch at {'/'.join(path)}: "
+                             f"{old.shape} vs {value.shape}")
+        node[path[-1]] = value.astype(old.dtype)
+
+    n = 0
+    for enc in encoders:
+        if enc not in new_params:
+            raise KeyError(f"no encoder submodule {enc!r} in params "
+                           f"(have {sorted(new_params)[:6]})")
+        for tname, (fpath, kind) in _resnet50_surviving_map(enc).items():
+            w_key = f"{tname}.weight"
+            if w_key not in torch_state:
+                if ".downsample." in tname:
+                    continue  # only the first block of a stage projects
+                raise KeyError(f"torchvision state_dict missing {w_key} -- "
+                               "is this a resnet50 checkpoint?")
+            if kind == "conv":
+                w = np.transpose(torch_state[w_key], (2, 3, 1, 0))
+                set_leaf(new_params, fpath + ("kernel",), w)
+                n += 1
+            else:
+                set_leaf(new_params, fpath + ("scale",),
+                         torch_state[w_key])
+                set_leaf(new_params, fpath + ("bias",),
+                         torch_state[f"{tname}.bias"])
+                set_leaf(new_stats, fpath + ("mean",),
+                         torch_state[f"{tname}.running_mean"])
+                set_leaf(new_stats, fpath + ("var",),
+                         torch_state[f"{tname}.running_var"])
+                n += 4
+    return new_params, new_stats, n

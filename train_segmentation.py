@@ -110,6 +110,18 @@ def train(args, config):
         params["eASPP_mod2"] = ckpt_lib.restore_into(
             params["eASPP_mod2"], tof["params"]["eASPP"])
         workspace.log("transplanted stage-1 rgb+tof encoders", "train")
+    # ImageNet init: torchvision resnet50 state_dict -> encoder(s)
+    # (reference modules/adapnet.py:101, resnet50(pretrained=True))
+    if model_cfg.get("pretrained_encoder"):
+        from segfusion_tpu.utils.torch_convert import (
+            convert_resnet50_encoder, load_torch_checkpoint)
+        tv_state = load_torch_checkpoint(model_cfg.pretrained_encoder)
+        encoders = ("encoder_mod1",) if stage == 1 \
+            else ("encoder_mod1", "encoder_mod2")
+        params, batch_stats, n_arr = convert_resnet50_encoder(
+            tv_state, params, batch_stats, encoders=encoders)
+        workspace.log(f"imported {n_arr} ImageNet resnet50 arrays into "
+                      f"{', '.join(encoders)}", "train")
     if model_cfg.get("pretrained"):
         ck = ckpt_lib.load_checkpoint(model_cfg.pretrained)
         params = ckpt_lib.restore_into(params, ck["params"])
