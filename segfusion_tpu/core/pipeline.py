@@ -384,18 +384,23 @@ class Pipeline:
     def fuse_many(self, batches, database, params, batch_stats,
                   seg_params=None, chunk: int = 16):
         """Stream a list/iterator of host batches through chunked
-        ``fuse_sequence`` calls: consecutive same-scene frames are stacked
-        into fixed-size chunks (tail-padded with all-masked no-op frames to
-        keep shapes static) and fused with one device dispatch per chunk.
-        Semantically identical to calling :meth:`fuse` per frame."""
-        pending: list = []
-        pending_scene = None
+        ``fuse_sequence`` calls: frames are buffered PER SCENE and each
+        scene's buffer is flushed as one fixed-size chunk (tail-padded
+        with all-masked no-op frames to keep shapes static) -- one device
+        dispatch per chunk. Per-scene buffering keeps the chunk size (and
+        thus the dispatch amortisation) intact under interleaved frame
+        orderings: Replica ``hybrid`` with load_scenes_at_once>1 and
+        ScanNet ``max_depth_diversity`` interleave scenes per-frame, which
+        would otherwise collapse chunks to length ~1 (PERFORMANCE.md's
+        per-frame dispatch failure mode). Within a scene arrival order is
+        preserved, so the result is bit-identical to per-frame
+        :meth:`fuse` calls."""
+        pending: Dict[str, list] = {}
 
-        def flush():
-            nonlocal pending, pending_scene
-            if not pending:
+        def flush(scene_id: str):
+            frames = pending.pop(scene_id, [])
+            if not frames:
                 return
-            frames = pending
             n = len(frames)
             if n < chunk:  # pad with no-op frames (mask all False)
                 pad = dict(frames[-1])
@@ -403,25 +408,22 @@ class Pipeline:
                 frames = frames + [pad] * (chunk - n)
             stacked = jax.tree_util.tree_map(
                 lambda *xs: jnp.stack(xs), *frames)
-            volume = database.volumes[pending_scene]
+            volume = database.volumes[scene_id]
             new_volume = self.fuse_sequence((params, batch_stats), volume,
                                             stacked, seg_params)
-            database.update(pending_scene, new_volume)
-            pending = []
+            database.update(scene_id, new_volume)
 
         for batch in batches:
             import numpy as _np
             if not _np.all(_np.isfinite(_np.asarray(batch["extrinsics"]))):
                 continue
             scene_id = self._scene_of(batch)
-            if scene_id != pending_scene and pending:
-                flush()
-            pending_scene = scene_id
-            pending.append(self._frame_from_batch(batch,
-                                                  self.config.DATA.input))
-            if len(pending) == chunk:
-                flush()
-        flush()
+            pending.setdefault(scene_id, []).append(
+                self._frame_from_batch(batch, self.config.DATA.input))
+            if len(pending[scene_id]) == chunk:
+                flush(scene_id)
+        for scene_id in list(pending):
+            flush(scene_id)
 
     def fuse(self, batch, database, params, batch_stats, seg_params=None):
         """Online inference on one frame; updates the database in place

@@ -46,6 +46,7 @@ def _disable_forward_dropout(tmodel, stage):
         tmodel.encoder_mod2.res_n50_enc.layer3[2].dropout = False
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("stage", [1, 2])
 def test_adapnet_matches_reference(stage):
     import torch

@@ -23,6 +23,7 @@ def tmp_workspace(tmp_path):
     return str(tmp_path)
 
 
+@pytest.mark.slow
 def test_train_fusion_cli(tmp_workspace):
     import train_fusion
     config = load_config(CFG)
@@ -58,6 +59,7 @@ def test_test_fusion_cli(tmp_workspace):
     assert any(f.endswith("_semantic.ply") for f in files), files
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip_through_cli(tmp_workspace, tmp_path):
     """best.ckpt from training loads into test_fusion's restore path."""
     import train_fusion
@@ -76,6 +78,7 @@ def test_checkpoint_roundtrip_through_cli(tmp_workspace, tmp_path):
     assert np.isfinite(results["mse"])
 
 
+@pytest.mark.slow
 def test_train_fusion_resume(tmp_workspace, tmp_path):
     """TRAINING.resume restores params/opt state and continues."""
     import train_fusion

@@ -14,6 +14,7 @@ CFG = os.path.join(os.path.dirname(__file__), "..", "configs",
                    "segmentation", "synthetic_small.yaml")
 
 
+@pytest.mark.slow
 def test_train_and_test_segmentation_cli(tmp_path):
     import train_segmentation
     config = load_config(CFG)

@@ -57,6 +57,7 @@ def test_database_fscore_on_classic_fusion(tmp_path):
     assert agg["precision"] > 0.6 and agg["recall"] > 0.6
 
 
+@pytest.mark.slow
 def test_test_fusion_cli_predict_strategy(tmp_path):
     """test_fusion with semantic_strategy=predict: trains nothing, but loads
     a saved AdapNet checkpoint and runs the 2D net inside the fused step."""

@@ -39,3 +39,53 @@ def test_fuse_many_matches_per_frame():
         np.testing.assert_array_equal(np.asarray(db.volumes[s].semkey),
                                       np.asarray(ref[s].semkey))
         assert db.state[s]
+
+
+def test_fuse_many_interleaved_scenes_keeps_chunking():
+    """Per-frame interleaving of two scenes (ScanNet max_depth_diversity /
+    Replica hybrid orderings) must neither change results nor collapse
+    chunks to length 1: dispatches = ceil(frames_per_scene / chunk) per
+    scene, not one per frame."""
+    cfg = small_config(use_semantics=False, semantics="class8")
+    cfg.DATA.semantic_grid = True
+    cfg.DATA.n_scenes = 2
+    data = Synthetic(cfg.DATA)
+    db = Database(data, cfg.DATA)
+    pipe = Pipeline(cfg)
+    params, stats = pipe.init_fusion_params(jax.random.PRNGKey(0), 48, 48)
+
+    nf = cfg.DATA.n_frames
+    # interleave: s0f0, s1f0, s0f1, s1f1, ... (6 frames per scene)
+    idxs = []
+    for i in range(6):
+        idxs += [i, nf + i]
+    batches = [_batch(data, i) for i in idxs]
+
+    db.reset()
+    for b in batches:
+        pipe.fuse(b, db, params, stats)
+    ref = {s: db.volumes[s] for s in data.scenes}
+
+    db.reset()
+    calls = []
+    orig = pipe.fuse_sequence
+
+    def counting_fuse_sequence(ps, volume, stacked, seg):
+        calls.append(int(stacked["depth"].shape[0]))
+        return orig(ps, volume, stacked, seg)
+
+    pipe.fuse_sequence = counting_fuse_sequence
+    try:
+        pipe.fuse_many(batches, db, params, stats, chunk=4)
+    finally:
+        pipe.fuse_sequence = orig
+
+    # 6 frames/scene at chunk 4 -> 2 dispatches per scene, all of size 4
+    assert len(calls) == 4, f"expected 4 chunk dispatches, got {calls}"
+    assert all(c == 4 for c in calls)
+
+    for s in data.scenes:
+        np.testing.assert_allclose(np.asarray(db.volumes[s].weights),
+                                   np.asarray(ref[s].weights), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(db.volumes[s].num),
+                                   np.asarray(ref[s].num), atol=1e-3)

@@ -6,6 +6,7 @@ import sys
 
 import jax
 import numpy as np
+import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -18,11 +19,13 @@ def test_entry_compiles_and_runs():
     assert np.asarray(out.weights).sum() > 0  # the frame integrated
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_2():
     import __graft_entry__ as ge
     ge.dryrun_multichip(2)

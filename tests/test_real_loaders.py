@@ -95,6 +95,7 @@ def test_replica_loader_roundtrip(tmp_path):
     assert len(ds2) == 4
 
 
+@pytest.mark.slow
 def test_replica_train_fusion_smoke(tmp_path):
     """Full train_fusion on the fixture Replica tree (real-data path)."""
     import train_fusion

@@ -35,6 +35,7 @@ def _numpy_state(module):
 @pytest.mark.skipif(not os.path.exists(os.path.join(REF, "modules",
                                                     "adapnet.py")),
                     reason="reference checkout not available")
+@pytest.mark.slow
 def test_surviving_map_matches_reference_surgery():
     import fake_torchvision
     fake_torchvision.install()
@@ -68,6 +69,7 @@ def test_surviving_map_matches_reference_surgery():
     assert "conv1" not in surviving and "bn1" not in surviving
 
 
+@pytest.mark.slow
 def test_convert_resnet50_encoder_mechanics():
     import jax
     import jax.numpy as jnp

@@ -2,6 +2,7 @@
 sequential per-frame training loop."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -11,6 +12,7 @@ from segfusion_tpu.data.synthetic import Synthetic
 from tests.test_pipeline import small_config, _batch
 
 
+@pytest.mark.slow
 def test_train_sequence_matches_loop():
     cfg = small_config()
     data = Synthetic(cfg.DATA)
@@ -56,6 +58,7 @@ def test_train_sequence_matches_loop():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_train_sequence_reset_flag_resets_volume():
     cfg = small_config()
     data = Synthetic(cfg.DATA)
