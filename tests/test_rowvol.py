@@ -1,0 +1,136 @@
+"""Row-layout state (ops/rowvol.py) must be numerically equivalent to
+the flat scalar gather/scatter path on random and adversarial inputs:
+round-trip conversions exact, extraction == packed-f16 flat extraction,
+integration == flat scatter integration (same f16 read precision, float
+summation-order tolerance only), semantic keys bit-exact."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from segfusion_tpu.ops import geometry, integrate as integ
+from segfusion_tpu.ops.rowvol import (RowLayout, build_shadow, corner_rows,
+                                      extract_rows, integrate_rows,
+                                      rows_from_volume, volume_from_rows)
+
+SHAPE = (20, 21, 140)  # odd y, z > 128: exercises pair edge + z blocks
+
+
+def _state(rng, shape=SHAPE):
+    num = rng.randn(*shape).astype(np.float32)
+    w = (rng.rand(*shape) * 3).astype(np.float32)
+    w[w < 0.4] = 0.0
+    key = (rng.rand(*shape) * (1 << 20)).astype(np.int32)
+    return jnp.asarray(num), jnp.asarray(w), jnp.asarray(key)
+
+
+def _points(rng, n, p, shape, oob_frac=0.15):
+    pts = rng.rand(n, p, 3) * (np.asarray(shape) - 1)
+    # push some rays (partially) out of bounds on every side
+    k = int(n * oob_frac)
+    pts[:k, :, 0] -= shape[0] * 0.5
+    pts[n - k:, :, 2] += shape[2] * 0.5
+    # exact centers + integral coords (sign(0) degenerate corners)
+    pts[k:k + 5] = np.floor(pts[k:k + 5]) + 0.5
+    pts[k + 5:k + 10] = np.floor(pts[k + 5:k + 10])
+    # z-block straddles: z-pair exactly across 127/128
+    pts[k + 10:k + 15, :, 2] = 127.3 + 0.2 * rng.rand(5, p)
+    # y-pair parity edges
+    pts[k + 15:k + 20, :, 1] = np.clip(
+        2 * rng.randint(0, shape[1] // 2, (5, p)) + 1.4, 0, shape[1] - 1)
+    return jnp.asarray(pts.astype(np.float32))
+
+
+def test_roundtrip_exact():
+    rng = np.random.RandomState(0)
+    num, w, key = _state(rng)
+    L = RowLayout.for_shape(SHAPE)
+    geo, krows = rows_from_volume(num, w, key, L)
+    num2, w2, key2 = volume_from_rows(geo, krows, L)
+    np.testing.assert_array_equal(np.asarray(num2), np.asarray(num))
+    np.testing.assert_array_equal(np.asarray(w2), np.asarray(w))
+    np.testing.assert_array_equal(np.asarray(key2), np.asarray(key))
+
+
+def test_extract_rows_matches_flat_packed16():
+    rng = np.random.RandomState(1)
+    num, w, key = _state(rng)
+    L = RowLayout.for_shape(SHAPE)
+    pts = _points(rng, 64, 5, SHAPE)
+
+    fv_ref, fw_ref, _, _, _ = geometry.trilinear_gather_packed16(
+        pts, num, w, init_value=0.1)
+
+    geo, _ = rows_from_volume(num, w, key, L)
+    shadow = build_shadow(geo, L)
+    cr = corner_rows(pts, L)
+    fv, fw = extract_rows(shadow, cr, init_value=0.1,
+                          fill_value=geometry.INVALID_TSDF_FILL)
+
+    np.testing.assert_allclose(np.asarray(fv), np.asarray(fv_ref),
+                               atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(fw), np.asarray(fw_ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_integrate_rows_matches_flat(with_mask):
+    rng = np.random.RandomState(2)
+    num, w, key = _state(rng)
+    L = RowLayout.for_shape(SHAPE)
+    n, p, t = 64, 5, 4
+    pts = _points(rng, n, p, SHAPE)
+    values = jnp.asarray(rng.randn(n, t).astype(np.float32) * 0.1)
+    ids = jnp.asarray(rng.randint(1, 9, n).astype(np.uint8))
+    scores = jnp.asarray(rng.rand(n).astype(np.float32))
+    mask = jnp.asarray(rng.rand(n) > 0.3) if with_mask else None
+
+    # flat reference path
+    indices, weights = geometry.interpolation_weights(pts)
+    num_ref, w_ref = integ.integrate_numw(
+        num, w, values, indices[:, :t], weights[:, :t], mask)
+    key_ref = integ.integrate_semkey(key, ids, scores, indices[:, :t],
+                                     mask)
+
+    # row path
+    geo, krows = rows_from_volume(num, w, key, L)
+    cr = corner_rows(pts, L)
+    sem_key = integ.pack_semantic_key(scores, ids)
+    new_geo, new_key = integrate_rows(geo, krows, cr, values, sem_key,
+                                      mask, n_tail=t)
+    num2, w2, key2 = volume_from_rows(new_geo, new_key, L)
+
+    np.testing.assert_allclose(np.asarray(num2), np.asarray(num_ref),
+                               atol=3e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(w2), np.asarray(w_ref),
+                               atol=3e-5, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(key2), np.asarray(key_ref))
+
+
+def test_integrate_rows_z128_multiple():
+    """Z an exact multiple of 128 (no z padding) + straddle points."""
+    shape = (8, 9, 128)
+    rng = np.random.RandomState(3)
+    num, w, key = _state(rng, shape)
+    L = RowLayout.for_shape(shape)
+    n, p, t = 32, 3, 3
+    pts = rng.rand(n, p, 3).astype(np.float32) * (np.asarray(shape) - 1)
+    pts[:8, :, 2] = 126.9 + 0.4 * rng.rand(8, p)  # cross the block edge
+    pts = jnp.asarray(pts)
+    values = jnp.asarray(rng.randn(n, t).astype(np.float32) * 0.1)
+
+    indices, weights = geometry.interpolation_weights(pts)
+    num_ref, w_ref = integ.integrate_numw(num, w, values,
+                                          indices[:, :t], weights[:, :t])
+
+    geo, krows = rows_from_volume(num, w, key, L)
+    cr = corner_rows(pts, L)
+    new_geo, new_key = integrate_rows(geo, krows, cr, values, None, None,
+                                      n_tail=t)
+    num2, w2, key2 = volume_from_rows(new_geo, new_key, L)
+    np.testing.assert_allclose(np.asarray(num2), np.asarray(num_ref),
+                               atol=3e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(w2), np.asarray(w_ref),
+                               atol=3e-5, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(key2), np.asarray(key))
