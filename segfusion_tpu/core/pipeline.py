@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from ..models.fusionnet import build_fusion_net
 from ..ops import geometry
 from ..ops import integrate as integ
+from ..ops import rowvol
 from .volume import SceneVolume
 
 __all__ = ["Pipeline", "FusionOutput"]
@@ -88,6 +89,12 @@ class Pipeline:
         # SETTINGS.gather_precision: f32
         self.packed16_gather = config.SETTINGS.get(
             "gather_precision", "f16packed") != "f32"
+        # 128-lane-row hot path (ops/rowvol.py): 4x fewer random-access
+        # ops than the flat scalar path, same numerics (f16 gather
+        # precision, summation-order float tolerance). Disable with
+        # SETTINGS.integration: scalar
+        self.row_path = config.SETTINGS.get(
+            "integration", "rows") != "scalar"
 
         self.fusion_net = build_fusion_net(config.FUSION_MODEL)
         # segmenter: optional object with .apply_fn(params, image, depth)
@@ -195,6 +202,11 @@ class Pipeline:
         scan). Reference Pipeline.fuse (modules/pipeline.py:173-248):
         integrates TSDF and, when semantics are on, the label/score
         volumes."""
+        if self.row_path:
+            layout, rv = self._rows_from_volume(volume)
+            rv = self.step_fuse_rows_impl(params_and_stats, layout, rv,
+                                          frame, seg_params)
+            return self._volume_from_rows(rv, layout)
         params, batch_stats = params_and_stats
         depth = frame["depth"]
         filtered = jnp.where(frame["mask"], depth, 0.0)
@@ -232,6 +244,78 @@ class Pipeline:
                            origin=volume.origin,
                            resolution=volume.resolution,
                            init_value=volume.init_value)
+
+    # -- row-layout fast path (ops/rowvol.py) ---------------------------------
+
+    def _rows_from_volume(self, volume: SceneVolume):
+        layout = rowvol.RowLayout.for_shape(tuple(volume.num.shape))
+        geo, key = rowvol.rows_from_volume(volume.num, volume.weights,
+                                           volume.semkey, layout)
+        rv = rowvol.RowVolume(geo=geo, key=key, origin=volume.origin,
+                              resolution=volume.resolution,
+                              init_value=volume.init_value)
+        return layout, rv
+
+    @staticmethod
+    def _volume_from_rows(rv: rowvol.RowVolume, layout) -> SceneVolume:
+        num, w, key = rowvol.volume_from_rows(rv.geo, rv.key, layout)
+        return SceneVolume(num=num, weights=w, semkey=key,
+                           origin=rv.origin, resolution=rv.resolution,
+                           init_value=rv.init_value)
+
+    def step_fuse_rows_impl(self, params_and_stats, layout,
+                            rv: rowvol.RowVolume, frame, seg_params
+                            ) -> rowvol.RowVolume:
+        """Inference step over the row-layout state: 2 row gathers + 1
+        512-lane scatter-add + 1 256-lane scatter-max per (ray, sample)
+        replace the flat path's 8/16/8 scalar random accesses. Same
+        pipeline semantics as :meth:`step_fuse_impl`."""
+        params, batch_stats = params_and_stats
+        depth = frame["depth"]
+        filtered = jnp.where(frame["mask"], depth, 0.0)
+
+        if self.semantics:
+            if self.semantic_strategy == "predict":
+                sem_ids, scores = self._predict_semantics(
+                    seg_params, frame["image"], frame["depth_input"])
+            else:
+                sem_ids = frame["semantic_gt"].reshape(-1).astype(jnp.uint8)
+                scores = jnp.ones_like(sem_ids, jnp.float32)
+        else:
+            sem_ids = scores = None
+
+        points_w = geometry.unproject(depth, frame["extrinsics"],
+                                      frame["intrinsics"])
+        eye_w = frame["extrinsics"][:3, 3].astype(jnp.float32)
+        points_v, _ = geometry.sample_ray_points(
+            points_w, eye_w, rv.origin, rv.resolution, self.n_points)
+        cr = rowvol.corner_rows(points_v, layout)
+        shadow = rowvol.build_shadow(rv.geo, layout)
+        fv, fw = rowvol.extract_rows(shadow, cr, self.init_value,
+                                     geometry.INVALID_TSDF_FILL)
+
+        h, w = depth.shape
+        inputs = {
+            "tsdf_values": fv.reshape(1, h, w, self.n_points),
+            "tsdf_weights": fw.reshape(1, h, w, self.n_points),
+            "tsdf_frame": depth.reshape(1, h, w, 1),
+        }
+        if self.use_semantics:
+            sem = (1.0 + sem_ids.reshape(depth.shape).astype(jnp.float32)
+                   ) / self.n_classes
+            inputs["semantic_frame"] = sem.reshape(1, h, w, 1)
+        tsdf_est, _ = self._network_estimate(params, batch_stats, inputs,
+                                             train=False, rng=None)
+
+        t = self.n_tail_points
+        upd_values = jnp.clip(tsdf_est[0, :, :t], -self.init_value,
+                              self.init_value)
+        ray_mask = filtered.reshape(-1) != 0.0
+        sem_key = (integ.pack_semantic_key(scores, sem_ids)
+                   if self.semantics else None)
+        new_geo, new_key = rowvol.integrate_rows(
+            rv.geo, rv.key, cr, upd_values, sem_key, ray_mask, t)
+        return rv._replace(geo=new_geo, key=new_key)
 
     def step_train_impl(self, params, batch_stats, volume: SceneVolume,
                         gt_tsdf, frame, seg_params, rng
@@ -316,7 +400,21 @@ class Pipeline:
         stream (the reference's per-frame Python loop, train_fusion.py:145,
         pays a host round-trip per frame). This is the production serving
         path for pre-staged frame batches.
+
+        On the row path the canonical<->row conversions happen ONCE at
+        the chunk boundaries; the scan carries the split row state, so
+        the per-frame cost is pure row gathers/scatters.
         """
+        if self.row_path:
+            layout, rv = self._rows_from_volume(volume)
+
+            def row_body(rv, frame):
+                return self.step_fuse_rows_impl(
+                    params_and_stats, layout, rv, frame, seg_params), None
+
+            rv, _ = jax.lax.scan(row_body, rv, frames)
+            return self._volume_from_rows(rv, layout)
+
         def body(vol, frame):
             return self.step_fuse_impl(params_and_stats, vol, frame,
                                        seg_params), None

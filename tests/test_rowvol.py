@@ -134,3 +134,37 @@ def test_integrate_rows_z128_multiple():
     np.testing.assert_allclose(np.asarray(w2), np.asarray(w_ref),
                                atol=3e-5, rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(key2), np.asarray(key))
+
+
+def test_pipeline_row_path_matches_scalar_path():
+    """End-to-end: Pipeline.fuse with SETTINGS.integration rows vs scalar
+    over several frames + a scene with semantics."""
+    from segfusion_tpu.core.database import Database
+    from segfusion_tpu.core.pipeline import Pipeline
+    from segfusion_tpu.data.synthetic import Synthetic
+    from tests.test_pipeline import small_config, _batch
+
+    cfg = small_config(use_semantics=True, semantics="class8")
+    cfg.DATA.semantic_grid = True
+    data = Synthetic(cfg.DATA)
+    db = Database(data, cfg.DATA)
+
+    results = {}
+    for mode in ("scalar", "rows"):
+        cfg.SETTINGS.integration = mode
+        pipe = Pipeline(cfg)
+        params, stats = pipe.init_fusion_params(jax.random.PRNGKey(0),
+                                                48, 48)
+        db.reset()
+        for i in range(4):
+            pipe.fuse(_batch(data, i), db, params, stats)
+        s = data.scenes[0]
+        results[mode] = (np.asarray(db.volumes[s].num),
+                         np.asarray(db.volumes[s].weights),
+                         np.asarray(db.volumes[s].semkey))
+
+    num_s, w_s, key_s = results["scalar"]
+    num_r, w_r, key_r = results["rows"]
+    np.testing.assert_allclose(num_r, num_s, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(w_r, w_s, atol=1e-4, rtol=1e-4)
+    np.testing.assert_array_equal(key_r, key_s)
