@@ -37,13 +37,25 @@ Straddle-free by construction
   monotone (max), so the true state is reconcile(copies) -- computed only
   at read boundaries (per-frame shadow build, scan-exit materialise).
 
+HBM-exact sizing (v5e has 16 GB; a 448^3 scene must fit with headroom):
+* per-copy block counts are EXACT, not uniform: cz=0 copies hold
+  ``ZB0 = ceil(Z/128)`` blocks, cz=1 copies only the ``ZB1`` blocks a
+  straddle can actually hit (b in [1, (Z-1)//128], stored at b-1) --
+  30% smaller state than uniform padding at 448^3;
+* voxel coordinates are clipped to the REAL extent (Z-1), never the
+  padded one, so shadow block count is ``(Z-1)//112 + 1``;
+* the per-frame update tensors ((n, t, 2, 512) would be GBs at 256^2
+  rays) are built CHUNKED: extraction maps over ray chunks, integration
+  scans ray chunks through the donated state, so transients stay at a
+  few hundred MB regardless of frame size.
+
 All shapes static; invalid corners/rays are zero-weight (or zero-key)
 lanes, exactly like the flat path (ops/integrate.py).
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -53,9 +65,21 @@ __all__ = ["RowLayout", "RowVolume", "rows_from_volume", "volume_from_rows",
 
 _SHADOW_STRIDE = 112  # 128-wide blocks every 112 z: runs <= 16 never straddle
 
+# transient-memory targets for the chunked per-frame passes (rays/chunk)
+_EXTRACT_CHUNK = 8192   # gather temp ~ chunk*p*2*256*4B  (~150 MB at p=9)
+_INTEGRATE_CHUNK = 4096  # update temp ~ chunk*t*2*768*4B (~175 MB at t=7)
+
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
+
+
+def _nchunks(n: int, target: int) -> int:
+    """Smallest chunk count that divides n with chunks <= target."""
+    k = _cdiv(n, target)
+    while n % k:
+        k += 1
+    return k
 
 
 class RowLayout(NamedTuple):
@@ -63,26 +87,36 @@ class RowLayout(NamedTuple):
     X: int
     Y: int
     Z: int
-    Zp: int      # z padded to a multiple of 128
-    ZB: int      # z-blocks per copy (uniform: Zp//128 + 1 covers cz=1)
-    Q: int       # y-pairs per copy (uniform: Y//2 + 1 covers cy=1)
-    NBS: int     # shadow z-blocks (stride 112)
+    Zp: int      # ZB0 * 128
+    ZB0: int     # z-blocks per cz=0 copy: ceil(Z/128)
+    ZB1: int     # z-blocks per cz=1 copy: blocks 1..(Z-1)//128, stored -1
+    Q: int       # y-pairs per copy: ceil(Y/2)
+    NBS: int     # shadow z-blocks (stride 112): (Z-1)//112 + 1
+    Zsh: int     # shadow source z extent: 112*(NBS-1) + 128
 
     @staticmethod
     def for_shape(shape: Tuple[int, int, int]) -> "RowLayout":
         X, Y, Z = int(shape[0]), int(shape[1]), int(shape[2])
-        Zp = _cdiv(Z, 128) * 128
-        return RowLayout(X=X, Y=Y, Z=Z, Zp=Zp, ZB=Zp // 128 + 1,
-                         Q=Y // 2 + 1, NBS=_cdiv(Zp, _SHADOW_STRIDE))
+        ZB0 = _cdiv(Z, 128)
+        # a z-pair straddles cz=0 only from z_lo = 128k + 127 <= Z - 2,
+        # landing in cz=1 block b = k + 1 -- so blocks 1..(Z-1)//128
+        ZB1 = max((Z - 1) // 128 if Z >= 129 else 0, 1)
+        NBS = (Z - 1) // _SHADOW_STRIDE + 1
+        return RowLayout(X=X, Y=Y, Z=Z, Zp=ZB0 * 128, ZB0=ZB0, ZB1=ZB1,
+                         Q=_cdiv(Y, 2), NBS=NBS,
+                         Zsh=_SHADOW_STRIDE * (NBS - 1) + 128)
 
     # scatter-state rows: copies (cy, cz) outermost, then (x, q, b)
     @property
     def rows(self) -> int:
-        return 4 * self.X * self.Q * self.ZB
+        return 2 * self.X * self.Q * (self.ZB0 + self.ZB1)
 
     @property
     def shadow_rows(self) -> int:
         return 2 * self.X * self.Q * self.NBS
+
+    def copy_blocks(self, cz: int) -> int:
+        return self.ZB1 if cz else self.ZB0
 
 
 class RowVolume(NamedTuple):
@@ -97,84 +131,85 @@ class RowVolume(NamedTuple):
 
 # -- canonical <-> rows -------------------------------------------------------
 
-def _pad_yz(a, L: RowLayout):
-    """(X, Y, Z) -> (X, 2Q + 1, Zp): y padded for both parities' pair
-    grids, z padded to Zp."""
-    return jnp.pad(a, ((0, 0), (0, 2 * L.Q + 1 - L.Y), (0, L.Zp - L.Z)))
-
-
 def rows_from_volume(num, w, key, layout: RowLayout):
     """Split-copy row state from canonical (X, Y, Z) arrays. All mass
     goes to copy (cy=0, cz=0); the other three copies start at the
     combiner's neutral element (0 for add; 0 for the non-negative packed
     key's max)."""
     L = layout
+    s00 = L.X * L.Q * L.ZB0
 
     def pairs00(a):
-        """canonical -> (X, Q, ZB*128) for copy (0, 0): A=2q, B=2q+1,
-        z-block b starts at 128b."""
-        ap = _pad_yz(a, L)                       # (X, 2Q+1, Zp)
-        A = ap[:, 0:2 * L.Q:2]                   # (X, Q, Zp)
-        B = ap[:, 1:2 * L.Q + 1:2]
-        zpad = ((0, 0), (0, 0), (0, L.ZB * 128 - L.Zp))
-        return jnp.pad(A, zpad), jnp.pad(B, zpad)
+        """canonical -> A/B (X, Q, Zp) for copy (0, 0): A = y 2q,
+        B = 2q+1, z-block b starts at 128b."""
+        ap = jnp.pad(a, ((0, 0), (0, 2 * L.Q - L.Y), (0, L.Zp - L.Z)))
+        return ap[:, 0::2], ap[:, 1::2]
 
     nA, nB = pairs00(num.astype(jnp.float32))
     wA, wB = pairs00(w.astype(jnp.float32))
     geo00 = jnp.concatenate(
-        [x.reshape(L.X, L.Q, L.ZB, 128) for x in (nA, nB, wA, wB)],
-        axis=-1).reshape(L.X * L.Q * L.ZB, 512)
+        [x.reshape(L.X, L.Q, L.ZB0, 128) for x in (nA, nB, wA, wB)],
+        axis=-1).reshape(s00, 512)
     geo = jnp.concatenate(
-        [geo00, jnp.zeros((3 * L.X * L.Q * L.ZB, 512), jnp.float32)],
-        axis=0)
+        [geo00, jnp.zeros((L.rows - s00, 512), jnp.float32)], axis=0)
 
     kA, kB = pairs00(key.astype(jnp.int32))
     key00 = jnp.concatenate(
-        [x.reshape(L.X, L.Q, L.ZB, 128) for x in (kA, kB)],
-        axis=-1).reshape(L.X * L.Q * L.ZB, 256)
+        [x.reshape(L.X, L.Q, L.ZB0, 128) for x in (kA, kB)],
+        axis=-1).reshape(s00, 256)
     krows = jnp.concatenate(
-        [key00, jnp.zeros((3 * L.X * L.Q * L.ZB, 256), jnp.int32)],
-        axis=0)
+        [key00, jnp.zeros((L.rows - s00, 256), jnp.int32)], axis=0)
     return geo, krows
 
 
-def _copy_to_canonical(part, cy: int, cz: int, L: RowLayout):
-    """One copy's one component: (X, Q, ZB, 128) -> canonical (X, Y, Zp)
-    contribution. A-lanes sit at y = 2q + cy, B at 2q + 1 + cy; z-block b
-    covers z = 128b - 64cz + lane."""
-    A, B = part                                   # each (X, Q, ZB, 128)
-    flat = [x.reshape(L.X, L.Q, L.ZB * 128) for x in (A, B)]
-    if cz == 1:
-        flat = [x[:, :, 64:64 + L.Zp] for x in flat]
-    else:
-        flat = [x[:, :, :L.Zp] for x in flat]
-    inter = jnp.stack(flat, axis=2).reshape(L.X, 2 * L.Q, L.Zp)
+def _place(A, B, cy: int, L: RowLayout):
+    """One copy's one component: A/B (X, Q, span) -> (X, Y, span)
+    canonical-y contribution. A-lanes sit at y = 2q + cy, B at
+    2q + 1 + cy."""
+    inter = jnp.stack([A, B], axis=2).reshape(L.X, 2 * L.Q, A.shape[-1])
     if cy == 1:
         inter = jnp.pad(inter, ((0, 0), (1, 0), (0, 0)))
-    return inter[:, :L.Y, :]
+    return inter[:, :L.Y]
+
+
+def _reconcile(geo, key, layout: RowLayout, want_key: bool):
+    """Sum/max the four copies back to canonical (X, Y, Z). Copy cz's
+    z-block b covers z = 128*(b + cz) - 64*cz + lane (cz=1 blocks are
+    stored shifted by one, starting at z = 64)."""
+    L = layout
+    zext = max(L.Zp, 64 + L.ZB1 * 128)
+    num = jnp.zeros((L.X, L.Y, zext), jnp.float32)
+    w = jnp.zeros((L.X, L.Y, zext), jnp.float32)
+    k = jnp.zeros((L.X, L.Y, zext), jnp.int32) if want_key else None
+
+    off = 0
+    for cy in (0, 1):
+        for cz in (0, 1):
+            nblk = L.copy_blocks(cz)
+            size = L.X * L.Q * nblk
+            zoff, span = 64 * cz, nblk * 128
+            gg = geo[off:off + size].reshape(L.X, L.Q, nblk, 512)
+            nA, nB = gg[..., 0:128], gg[..., 128:256]
+            wA, wB = gg[..., 256:384], gg[..., 384:512]
+            flat = lambda t: t.reshape(L.X, L.Q, span)
+            num = num.at[:, :, zoff:zoff + span].add(
+                _place(flat(nA), flat(nB), cy, L))
+            w = w.at[:, :, zoff:zoff + span].add(
+                _place(flat(wA), flat(wB), cy, L))
+            if want_key:
+                kk = key[off:off + size].reshape(L.X, L.Q, nblk, 256)
+                k = k.at[:, :, zoff:zoff + span].max(
+                    _place(flat(kk[..., 0:128]), flat(kk[..., 128:256]),
+                           cy, L))
+            off += size
+    cutz = lambda a: a[:, :, :L.Z]
+    return cutz(num), cutz(w), cutz(k) if want_key else None
 
 
 def volume_from_rows(geo, key, layout: RowLayout):
     """Reconcile the four copies back to canonical (X, Y, Z)."""
-    L = layout
-    geo = geo.reshape(4, L.X, L.Q, L.ZB, 512)
-    key = key.reshape(4, L.X, L.Q, L.ZB, 256)
-
-    num = jnp.zeros((L.X, L.Y, L.Zp), jnp.float32)
-    w = jnp.zeros((L.X, L.Y, L.Zp), jnp.float32)
-    k = jnp.zeros((L.X, L.Y, L.Zp), jnp.int32)
-    for cy in (0, 1):
-        for cz in (0, 1):
-            c = cy * 2 + cz
-            g = geo[c]
-            num = num + _copy_to_canonical((g[..., 0:128], g[..., 128:256]),
-                                           cy, cz, L)
-            w = w + _copy_to_canonical((g[..., 256:384], g[..., 384:512]),
-                                       cy, cz, L)
-            kk = key[c]
-            k = jnp.maximum(k, _copy_to_canonical(
-                (kk[..., 0:128], kk[..., 128:256]), cy, cz, L))
-    return num[:, :, :L.Z], w[:, :, :L.Z], k[:, :, :L.Z]
+    num, w, k = _reconcile(geo, key, layout, want_key=True)
+    return num, w, k
 
 
 # -- gather shadow ------------------------------------------------------------
@@ -183,40 +218,24 @@ def build_shadow(geo, layout: RowLayout) -> jnp.ndarray:
     """Split state -> (shadow_rows, 256) u32 y-paired overlapped-z
     shadow of packed (num f16 | w f16). One fused dense pass per frame."""
     L = layout
-    g = geo.reshape(4, L.X, L.Q, L.ZB, 512)
-    num = jnp.zeros((L.X, L.Y, L.Zp), jnp.float32)
-    w = jnp.zeros((L.X, L.Y, L.Zp), jnp.float32)
-    for cy in (0, 1):
-        for cz in (0, 1):
-            c = cy * 2 + cz
-            gg = g[c]
-            num = num + _copy_to_canonical(
-                (gg[..., 0:128], gg[..., 128:256]), cy, cz, L)
-            w = w + _copy_to_canonical(
-                (gg[..., 256:384], gg[..., 384:512]), cy, cz, L)
+    num, w, _ = _reconcile(geo, None, L, want_key=False)
 
     num16 = jax.lax.bitcast_convert_type(
         num.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
     w16 = jax.lax.bitcast_convert_type(
         w.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
-    packed = (num16 << 16) | w16                  # (X, Y, Zp)
+    packed = (num16 << 16) | w16                  # (X, Y, Z)
 
-    packed = jnp.pad(packed, ((0, 0), (0, 2 * L.Q + 1 - L.Y), (0, 0)))
+    packed = jnp.pad(packed, ((0, 0), (0, 2 * L.Q + 1 - L.Y),
+                              (0, L.Zsh - L.Z)))
     copies = []
     for cy in (0, 1):
-        A = packed[:, cy:cy + 2 * L.Q:2]          # (X, Q, Zp)
+        A = packed[:, cy:cy + 2 * L.Q:2]          # (X, Q, Zsh)
         B = packed[:, cy + 1:cy + 1 + 2 * L.Q:2]
         blocks = []
         for src in (A, B):
-            bl = []
-            for b in range(L.NBS):
-                lo = b * _SHADOW_STRIDE
-                if lo + 128 <= L.Zp:
-                    bl.append(src[:, :, lo:lo + 128])
-                else:
-                    bl.append(jnp.pad(src[:, :, lo:L.Zp],
-                                      ((0, 0), (0, 0),
-                                       (0, lo + 128 - L.Zp))))
+            bl = [src[:, :, b * _SHADOW_STRIDE:b * _SHADOW_STRIDE + 128]
+                  for b in range(L.NBS)]
             blocks.append(jnp.stack(bl, axis=2))  # (X, Q, NBS, 128)
         copies.append(jnp.concatenate(blocks, axis=-1))
     return jnp.stack(copies, axis=0).reshape(L.shadow_rows, 256)
@@ -277,31 +296,34 @@ def corner_rows(points_v: jnp.ndarray, layout: RowLayout) -> CornerRows:
     cy = y_lo_c % 2
     q = y_lo_c // 2
 
-    # --- z pair lanes
-    z_lo = jnp.clip(jnp.minimum(z0, z1), 0, L.Zp - 1)
-    z0c = jnp.clip(z0, 0, L.Zp - 1)
-    z1c = jnp.clip(z1, 0, L.Zp - 1)
+    # --- z pair lanes (clipped to the REAL extent so block counts stay
+    # exact; invalid corners are weight-0/key-0 wherever they land)
+    z0c = jnp.clip(z0, 0, L.Z - 1)
+    z1c = jnp.clip(z1, 0, L.Z - 1)
+    z_lo = jnp.minimum(z0c, z1c)
     # shadow (overlapped blocks; run of <= 2 fits block z_lo // 112)
     gb = z_lo // _SHADOW_STRIDE
     lane0 = z0c - gb * _SHADOW_STRIDE
     lane1 = z1c - gb * _SHADOW_STRIDE
-    # scatter (z-parity copies)
+    # scatter (z-parity copies; cz=1 block b stored at index b - 1)
     use_cz1 = (z_lo % 128 == 127) & (z1c != z0c)
     cz = use_cz1.astype(jnp.int32)
     b0 = z_lo // 128
     b1 = (z_lo + 64) // 128
-    sb = jnp.where(use_cz1, b1, b0)
     base = jnp.where(use_cz1, b1 * 128 - 64, b0 * 128)
     slane0 = z0c - base
     slane1 = z1c - base
+    boff = jnp.where(use_cz1, b1 - 1, b0)
+    zbc = jnp.where(use_cz1, L.ZB1, L.ZB0)
 
     # --- rows per x-corner
     xs = jnp.stack([jnp.clip(x0, 0, L.X - 1),
                     jnp.clip(x1, 0, L.X - 1)], axis=-1)   # (n, p, 2)
     g_rows = ((cy[..., None] * L.X + xs) * L.Q + q[..., None]) * L.NBS \
         + gb[..., None]
-    s_rows = (((cy * 2 + cz)[..., None] * L.X + xs) * L.Q
-              + q[..., None]) * L.ZB + sb[..., None]
+    cbase = cy * (L.X * L.Q * (L.ZB0 + L.ZB1)) + cz * (L.X * L.Q * L.ZB0)
+    s_rows = cbase[..., None] \
+        + (xs * L.Q + q[..., None]) * zbc[..., None] + boff[..., None]
 
     return CornerRows(
         g_rows=g_rows, s_rows=s_rows,
@@ -336,11 +358,8 @@ def _unpack(g):
     return num, w
 
 
-def extract_rows(shadow: jnp.ndarray, cr: CornerRows, init_value: float,
-                 fill_value: float):
-    """Trilinear (fusion_values, fusion_weights): TWO 256-lane row
-    gathers per (ray, sample) -- numerically the packed-f16 flat path
-    (geometry.trilinear_gather_packed16) with 4x fewer random accesses."""
+def _extract_block(shadow, cr: CornerRows, init_value: float,
+                   fill_value: float):
     rows = jnp.take(shadow, cr.g_rows, axis=0)        # (n, p, 2, 256)
     ex = lambda t: t[..., None]                       # add x-corner axis
 
@@ -376,6 +395,27 @@ def extract_rows(shadow: jnp.ndarray, cr: CornerRows, init_value: float,
     return fusion_values, fusion_weights
 
 
+def extract_rows(shadow: jnp.ndarray, cr: CornerRows, init_value: float,
+                 fill_value: float, chunk: int = _EXTRACT_CHUNK):
+    """Trilinear (fusion_values, fusion_weights): TWO 256-lane row
+    gathers per (ray, sample) -- numerically the packed-f16 flat path
+    (geometry.trilinear_gather_packed16) with 4x fewer random accesses.
+    Rays are processed in chunks so the gathered row tensor stays at a
+    few hundred MB for full-resolution frames."""
+    n = cr.g_rows.shape[0]
+    k = _nchunks(n, chunk)
+    if k == 1:
+        return _extract_block(shadow, cr, init_value, fill_value)
+    crk = jax.tree_util.tree_map(
+        lambda a: a.reshape((k, n // k) + a.shape[1:]), cr)
+
+    def body(_, crc):
+        return None, _extract_block(shadow, crc, init_value, fill_value)
+
+    _, (fv, fw) = jax.lax.scan(body, None, crk)
+    return fv.reshape(n, -1), fw.reshape(n, -1)
+
+
 # -- integration --------------------------------------------------------------
 
 def _two_lane_vec(width, lane0, lane1, v0, v1):
@@ -387,12 +427,58 @@ def _two_lane_vec(width, lane0, lane1, v0, v1):
             + jnp.where(iota == lane1[..., None], v1[..., None], 0))
 
 
+class _UpdateBlock(NamedTuple):
+    """Per-ray-chunk integration inputs (all leading dims (n, t, ...))."""
+    rows: jnp.ndarray                 # (n, t, 2) scatter row per x-corner
+    l0: jnp.ndarray                   # (n, t, 2) z-corner-0 lane
+    l1: jnp.ndarray                   # (n, t, 2) z-corner-1 lane
+    w0A: jnp.ndarray                  # (n, t, 2) weight, column A corner z0
+    w1A: jnp.ndarray                  # (n, t, 2) column A corner z1
+    w0B: jnp.ndarray                  # (n, t, 2) column B corner z0
+    w1B: jnp.ndarray                  # (n, t, 2) column B corner z1
+    vals: jnp.ndarray                 # (n, t) clamped tsdf updates
+    k0A: Optional[jnp.ndarray]        # (n, t, 2) masked key, column A z0
+    k1A: Optional[jnp.ndarray]
+    k0B: Optional[jnp.ndarray]
+    k1B: Optional[jnp.ndarray]
+
+
+def _integrate_block(geo, key, b: _UpdateBlock):
+    def geo_lanes(w0, w1):
+        wvec = _two_lane_vec(128, b.l0, b.l1, w0, w1)
+        nvec = _two_lane_vec(128, b.l0, b.l1, w0 * b.vals[..., None],
+                             w1 * b.vals[..., None])
+        return nvec, wvec
+
+    nA, wvA = geo_lanes(b.w0A, b.w1A)
+    nB, wvB = geo_lanes(b.w0B, b.w1B)
+    upd = jnp.concatenate([nA, nB, wvA, wvB], axis=-1)    # (n, t, 2, 512)
+    rows = b.rows.reshape(-1)
+    geo = geo.at[rows].add(upd.reshape(-1, 512))
+
+    if b.k0A is None:
+        return geo, key
+
+    def column_keys(k0, k1):
+        zero = jnp.zeros_like(k0)
+        return jnp.maximum(_two_lane_vec(128, b.l0, b.l0, k0, zero),
+                           _two_lane_vec(128, b.l1, b.l1, k1, zero))
+
+    kupd = jnp.concatenate([column_keys(b.k0A, b.k1A),
+                            column_keys(b.k0B, b.k1B)],
+                           axis=-1)                        # (n, t, 2, 256)
+    key = key.at[rows].max(kupd.reshape(-1, 256))
+    return geo, key
+
+
 def integrate_rows(geo, key, cr: CornerRows, values, sem_key, ray_mask,
-                   n_tail: int):
+                   n_tail: int, chunk: int = _INTEGRATE_CHUNK):
     """Scatter the frame's updates into the split row state: ONE 512-lane
     scatter-add (num and w, both y columns, both z corners) and ONE
     256-lane scatter-max per (ray, tail-sample, x-corner). Reference
-    update math: modules/integrator.py:55-124."""
+    update math: modules/integrator.py:55-124. Rays stream through in
+    chunks (lax.scan carrying the donated state) so the built update
+    tensors stay small."""
     t = n_tail
 
     def cut(a):
@@ -411,39 +497,37 @@ def integrate_rows(geo, key, cr: CornerRows, values, sem_key, ray_mask,
     l0 = jnp.broadcast_to(cut(cr.slane0)[..., None], wx.shape)
     l1 = jnp.broadcast_to(cut(cr.slane1)[..., None], wx.shape)
 
-    def geo_lanes(wy):
-        # one y column's (n, t, 2, 128) lane vectors
-        w0 = wx * (wy * wz0)[..., None]
-        w1 = wx * (wy * wz1)[..., None]
-        wvec = _two_lane_vec(128, l0, l1, w0, w1)
-        nvec = _two_lane_vec(128, l0, l1, w0 * vals[..., None],
-                             w1 * vals[..., None])
-        return nvec, wvec
+    if sem_key is not None:
+        k = sem_key.astype(jnp.int32)[:, None, None]
+        if ray_mask is not None:
+            k = jnp.where(ray_mask[:, None, None], k, 0)
+        kx = jnp.where(cut(cr.vx), k, 0)                  # (n, t, 2)
 
-    # lanes [numA | numB | wA | wB]
-    nA, wvA = geo_lanes(wyA)
-    nB, wvB = geo_lanes(wyB)
-    upd = jnp.concatenate([nA, nB, wvA, wvB], axis=-1)    # (n, t, 2, 512)
-    rows = cut(cr.s_rows).reshape(-1)
-    new_geo = geo.at[rows].add(upd.reshape(-1, 512))
+        def keyc(vy, vz):
+            return jnp.where((vy & vz)[..., None], kx, 0)
 
-    if sem_key is None:
-        return new_geo, key
-    k = sem_key.astype(jnp.int32)[:, None, None]
-    if ray_mask is not None:
-        k = jnp.where(ray_mask[:, None, None], k, 0)
-    kx = jnp.where(cut(cr.vx), k, 0)                      # (n, t, 2)
+        vz0b, vz1b = cut(cr.vz0), cut(cr.vz1)
+        vyAb, vyBb = cut(cr.vyA), cut(cr.vyB)
+        keys = (keyc(vyAb, vz0b), keyc(vyAb, vz1b),
+                keyc(vyBb, vz0b), keyc(vyBb, vz1b))
+    else:
+        keys = (None, None, None, None)
 
-    def key_lanes(vy, vz, lane):
-        kc = jnp.where((vy & vz)[..., None], kx, 0)
-        return _two_lane_vec(128, lane, lane, kc, jnp.zeros_like(kc))
+    blk = _UpdateBlock(
+        rows=cut(cr.s_rows), l0=l0, l1=l1,
+        w0A=wx * (wyA * wz0)[..., None], w1A=wx * (wyA * wz1)[..., None],
+        w0B=wx * (wyB * wz0)[..., None], w1B=wx * (wyB * wz1)[..., None],
+        vals=vals, k0A=keys[0], k1A=keys[1], k0B=keys[2], k1B=keys[3])
 
-    def column_keys(vy):
-        return jnp.maximum(key_lanes(vy, cut(cr.vz0).astype(bool), l0),
-                           key_lanes(vy, cut(cr.vz1).astype(bool), l1))
+    n = blk.rows.shape[0]
+    kch = _nchunks(n, chunk)
+    if kch == 1:
+        return _integrate_block(geo, key, blk)
+    blkk = jax.tree_util.tree_map(
+        lambda a: a.reshape((kch, n // kch) + a.shape[1:]), blk)
 
-    kA = column_keys(cut(cr.vyA).astype(bool))
-    kB = column_keys(cut(cr.vyB).astype(bool))
-    kupd = jnp.concatenate([kA, kB], axis=-1)             # (n, t, 2, 256)
-    new_key = key.at[rows].max(kupd.reshape(-1, 256))
-    return new_geo, new_key
+    def body(carry, bc):
+        return _integrate_block(carry[0], carry[1], bc), None
+
+    (geo, key), _ = jax.lax.scan(body, (geo, key), blkk)
+    return geo, key

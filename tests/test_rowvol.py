@@ -136,6 +136,40 @@ def test_integrate_rows_z128_multiple():
     np.testing.assert_array_equal(np.asarray(key2), np.asarray(key))
 
 
+def test_chunked_paths_match_single_block():
+    """Forcing small ray chunks (the full-resolution memory mode) must
+    reproduce the single-block result exactly."""
+    rng = np.random.RandomState(4)
+    num, w, key = _state(rng)
+    L = RowLayout.for_shape(SHAPE)
+    n, p, t = 64, 5, 4
+    pts = _points(rng, n, p, SHAPE)
+    values = jnp.asarray(rng.randn(n, t).astype(np.float32) * 0.1)
+    sem_key = integ.pack_semantic_key(
+        jnp.asarray(rng.rand(n).astype(np.float32)),
+        jnp.asarray(rng.randint(1, 9, n).astype(np.uint8)))
+
+    geo, krows = rows_from_volume(num, w, key, L)
+    shadow = build_shadow(geo, L)
+    cr = corner_rows(pts, L)
+
+    fv1, fw1 = extract_rows(shadow, cr, 0.1, geometry.INVALID_TSDF_FILL)
+    fv2, fw2 = extract_rows(shadow, cr, 0.1, geometry.INVALID_TSDF_FILL,
+                            chunk=16)
+    # ulp-level reassociation only (different XLA fusion across chunks)
+    np.testing.assert_allclose(np.asarray(fv1), np.asarray(fv2),
+                               atol=1e-6, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(fw1), np.asarray(fw2),
+                               atol=1e-6, rtol=1e-5)
+
+    g1, k1 = integrate_rows(geo, krows, cr, values, sem_key, None, t)
+    g2, k2 = integrate_rows(geo, krows, cr, values, sem_key, None, t,
+                            chunk=16)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=1e-6, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+
+
 def test_pipeline_row_path_matches_scalar_path():
     """End-to-end: Pipeline.fuse with SETTINGS.integration rows vs scalar
     over several frames + a scene with semantics."""
