@@ -66,6 +66,15 @@ class SceneParallelFusion:
 
         self._step = _step
 
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def _seq(params_and_stats, volumes, frames, seg_params):
+            def per_scene(volume, stream):
+                return pipeline.fuse_sequence_impl(params_and_stats, volume,
+                                                   stream, seg_params)
+            return jax.vmap(per_scene)(volumes, frames)
+
+        self._seq = _seq
+
     def shard_volumes(self, stacked: SceneVolume) -> SceneVolume:
         return jax.tree_util.tree_map(
             lambda x: jax.device_put(x, self._scene_sharding
@@ -85,6 +94,20 @@ class SceneParallelFusion:
             lambda x: jax.device_put(jnp.asarray(x), self._scene_sharding),
             frames)
         return self._step(params_and_stats, volumes, frames, seg_params)
+
+    def run_sequences(self, params_and_stats, volumes: SceneVolume,
+                      frames: Dict[str, jnp.ndarray],
+                      seg_params=None) -> SceneVolume:
+        """Fuse whole frame streams for all scenes in ONE dispatch:
+        ``frames`` leaves have shape (S, T, ...), ``volumes`` is the
+        stacked (S, ...) state. The scene axis is vmapped (sharded over
+        the mesh), the time axis is the fuse_sequence lax.scan -- the
+        production shape for multi-scene streaming (BASELINE.json
+        config #5)."""
+        frames = jax.tree_util.tree_map(
+            lambda x: jax.device_put(jnp.asarray(x), self._scene_sharding),
+            frames)
+        return self._seq(params_and_stats, volumes, frames, seg_params)
 
     def run(self, params_and_stats, volumes: List[SceneVolume],
             frame_streams: List[List[Dict]], seg_params=None
