@@ -63,7 +63,8 @@ import jax.numpy as jnp
 __all__ = ["RowLayout", "RowVolume", "rows_from_volume", "volume_from_rows",
            "build_shadow", "corner_rows", "extract_rows", "integrate_rows"]
 
-_SHADOW_STRIDE = 112  # 128-wide blocks every 112 z: runs <= 16 never straddle
+_SHADOW_STRIDE = 64  # 128-wide blocks every 64 z: any 2-run fits z_lo//64,
+                     # and all shadow-build slices stay 64/128-aligned
 
 # transient-memory targets for the chunked per-frame passes (rays/chunk)
 _EXTRACT_CHUNK = 8192   # gather temp ~ chunk*p*2*256*4B  (~150 MB at p=9)
@@ -91,8 +92,7 @@ class RowLayout(NamedTuple):
     ZB0: int     # z-blocks per cz=0 copy: ceil(Z/128)
     ZB1: int     # z-blocks per cz=1 copy: blocks 1..(Z-1)//128, stored -1
     Q: int       # y-pairs per copy: ceil(Y/2)
-    NBS: int     # shadow z-blocks (stride 112): (Z-1)//112 + 1
-    Zsh: int     # shadow source z extent: 112*(NBS-1) + 128
+    NBS: int     # shadow z-blocks (stride 64): 2 * ZB0
 
     @staticmethod
     def for_shape(shape: Tuple[int, int, int]) -> "RowLayout":
@@ -101,10 +101,8 @@ class RowLayout(NamedTuple):
         # a z-pair straddles cz=0 only from z_lo = 128k + 127 <= Z - 2,
         # landing in cz=1 block b = k + 1 -- so blocks 1..(Z-1)//128
         ZB1 = max((Z - 1) // 128 if Z >= 129 else 0, 1)
-        NBS = (Z - 1) // _SHADOW_STRIDE + 1
         return RowLayout(X=X, Y=Y, Z=Z, Zp=ZB0 * 128, ZB0=ZB0, ZB1=ZB1,
-                         Q=_cdiv(Y, 2), NBS=NBS,
-                         Zsh=_SHADOW_STRIDE * (NBS - 1) + 128)
+                         Q=_cdiv(Y, 2), NBS=2 * ZB0)
 
     # scatter-state rows: copies (cy, cz) outermost, then (x, q, b)
     @property
@@ -214,31 +212,85 @@ def volume_from_rows(geo, key, layout: RowLayout):
 
 # -- gather shadow ------------------------------------------------------------
 
-def build_shadow(geo, layout: RowLayout) -> jnp.ndarray:
-    """Split state -> (shadow_rows, 256) u32 y-paired overlapped-z
-    shadow of packed (num f16 | w f16). One fused dense pass per frame."""
-    L = layout
-    num, w, _ = _reconcile(geo, None, L, want_key=False)
-
-    num16 = jax.lax.bitcast_convert_type(
+def _pack16(num, w):
+    n16 = jax.lax.bitcast_convert_type(
         num.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
     w16 = jax.lax.bitcast_convert_type(
         w.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
-    packed = (num16 << 16) | w16                  # (X, Y, Z)
+    return (n16 << 16) | w16
 
-    packed = jnp.pad(packed, ((0, 0), (0, 2 * L.Q + 1 - L.Y),
-                              (0, L.Zsh - L.Z)))
-    copies = []
+
+def build_shadow(geo, layout: RowLayout) -> jnp.ndarray:
+    """Split state -> (shadow_rows, 256) u32 y-paired stride-64-z shadow
+    of packed (num f16 | w f16). One dense pass per frame.
+
+    STRUCTURED reconcile: the four copies are summed without ever
+    leaving the row form -- the cz=1 -> cz=0 z-realignment is two
+    64-lane half-shifts, the cy=1 -> cy=0 y-realignment is a lane-group
+    swap plus a q-shift (major axis), and the stride-64 odd blocks are
+    the same half-shift pattern. The previous canonical roundtrip
+    (y-interleave + stride-2 y slices + unaligned 112-slices) relayouted
+    ~10x more than it moved: measured 104 ms/frame at 448^3 vs the raw
+    ~15 ms of traffic (tools/probe_row_stages.py)."""
+    L = layout
+    X, Q, ZB0, ZB1 = L.X, L.Q, L.ZB0, L.ZB1
+
+    def copy(cy, cz):
+        off = cy * X * Q * (ZB0 + ZB1) + cz * X * Q * ZB0
+        nblk = ZB1 if cz else ZB0
+        return geo[off:off + X * Q * nblk].reshape(X, Q, nblk, 4, 128)
+
+    def zmerge(s0, s1):
+        """Add the cz=1 copy (blocks at z = 128j + 64) into the cz=0
+        128-grid: block j's lower half lands in grid block j lanes
+        [64:], its upper half in grid block j+1 lanes [:64]."""
+        lo, hi = s1[..., :64], s1[..., 64:]
+        addlow = jnp.pad(hi, ((0, 0), (0, 0),
+                              (1, max(ZB0 - ZB1 - 1, 0)),
+                              (0, 0), (0, 0)))[:, :, :ZB0]
+        addhigh = jnp.pad(lo, ((0, 0), (0, 0), (0, ZB0 - ZB1),
+                               (0, 0), (0, 0)))
+        return s0 + jnp.concatenate([addlow, addhigh], axis=-1)
+
+    d0 = zmerge(copy(0, 0), copy(0, 1))       # (X, Q, ZB0, 4, 128)
+    d1 = zmerge(copy(1, 0), copy(1, 1))
+
+    def comp(d, i):
+        return d[:, :, :, i, :]               # (X, Q, ZB0, 128)
+
+    def qshift(a, s):
+        """s=+1: row q takes value from q-1; s=-1: from q+1."""
+        if s == 1:
+            return jnp.pad(a, ((0, 0), (1, 0), (0, 0), (0, 0)))[:, :Q]
+        return jnp.pad(a, ((0, 0), (0, 1), (0, 0), (0, 0)))[:, 1:]
+
+    # cy=0 pair (2q, 2q+1): A = D0.A + D1.B(q-1); B = D0.B + D1.A
+    # cy=1 pair (2q+1, 2q+2): A = D1.A + D0.B;  B = D1.B + D0.A(q+1)
+    pairs = {
+        (0, "A"): (comp(d0, 0) + qshift(comp(d1, 1), +1),
+                   comp(d0, 2) + qshift(comp(d1, 3), +1)),
+        (0, "B"): (comp(d0, 1) + comp(d1, 0),
+                   comp(d0, 3) + comp(d1, 2)),
+        (1, "A"): (comp(d1, 0) + comp(d0, 1),
+                   comp(d1, 2) + comp(d0, 3)),
+        (1, "B"): (comp(d1, 1) + qshift(comp(d0, 0), -1),
+                   comp(d1, 3) + qshift(comp(d0, 2), -1)),
+    }
+
+    def blocks64(p):
+        """(X, Q, ZB0, 128) 128-grid -> (X, Q, 2*ZB0, 128) stride-64
+        blocks: even block 2k is grid block k verbatim; odd block 2k+1
+        is [k's lanes 64: | k+1's lanes :64]."""
+        nxt = jnp.pad(p, ((0, 0), (0, 0), (0, 1), (0, 0)))[:, :, 1:]
+        odd = jnp.concatenate([p[..., 64:], nxt[..., :64]], axis=-1)
+        return jnp.stack([p, odd], axis=3).reshape(X, Q, 2 * ZB0, 128)
+
+    shads = []
     for cy in (0, 1):
-        A = packed[:, cy:cy + 2 * L.Q:2]          # (X, Q, Zsh)
-        B = packed[:, cy + 1:cy + 1 + 2 * L.Q:2]
-        blocks = []
-        for src in (A, B):
-            bl = [src[:, :, b * _SHADOW_STRIDE:b * _SHADOW_STRIDE + 128]
-                  for b in range(L.NBS)]
-            blocks.append(jnp.stack(bl, axis=2))  # (X, Q, NBS, 128)
-        copies.append(jnp.concatenate(blocks, axis=-1))
-    return jnp.stack(copies, axis=0).reshape(L.shadow_rows, 256)
+        pa = blocks64(_pack16(*pairs[(cy, "A")]))
+        pb = blocks64(_pack16(*pairs[(cy, "B")]))
+        shads.append(jnp.concatenate([pa, pb], axis=-1))
+    return jnp.stack(shads, axis=0).reshape(L.shadow_rows, 256)
 
 
 # -- corner geometry ----------------------------------------------------------
@@ -338,18 +390,6 @@ def corner_rows(points_v: jnp.ndarray, layout: RowLayout) -> CornerRows:
 
 # -- extraction ---------------------------------------------------------------
 
-def _pick2(rows: jnp.ndarray, lane0, lane1):
-    """rows (..., 128): select two lanes per row without a gather --
-    one-hot multiply + lane reduction (VPU)."""
-    iota = jax.lax.broadcasted_iota(jnp.int32, rows.shape, rows.ndim - 1)
-    h0 = iota == lane0[..., None]
-    h1 = iota == lane1[..., None]
-    z = jnp.zeros_like(rows)
-    g0 = jnp.sum(jnp.where(h0, rows, z), axis=-1)
-    g1 = jnp.sum(jnp.where(h1, rows, z), axis=-1)
-    return g0, g1
-
-
 def _unpack(g):
     num = jax.lax.bitcast_convert_type(
         (g >> 16).astype(jnp.uint16), jnp.float16).astype(jnp.float32)
@@ -358,34 +398,59 @@ def _unpack(g):
     return num, w
 
 
+def _flatx(a, shape3):
+    """Broadcast (n, p[, 2]) onto the x-corner axis and flatten to (R,).
+
+    ALL hot elementwise math here runs on flat 1-D (or (R, lanes) 2-D)
+    tensors: shapes like (n, p, 2) put extent 2 (or 9) in the TPU lane
+    dimension and waste the (8, 128) tile -- measured 8x slower
+    (tools/probe_lane_shapes.py)."""
+    if a.ndim == 2:
+        a = a[..., None]
+    return jnp.broadcast_to(a, shape3).reshape(-1)
+
+
 def _extract_block(shadow, cr: CornerRows, init_value: float,
                    fill_value: float):
-    rows = jnp.take(shadow, cr.g_rows, axis=0)        # (n, p, 2, 256)
-    ex = lambda t: t[..., None]                       # add x-corner axis
+    s3 = cr.g_rows.shape                              # (n, p, 2)
+    rows = jnp.take(shadow, cr.g_rows.reshape(-1), axis=0)   # (R, 256)
+    l0 = _flatx(cr.lane0, s3)[:, None]
+    l1 = _flatx(cr.lane1, s3)[:, None]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (rows.shape[0], 128), 1)
+    h0 = iota == l0
+    h1 = iota == l1
+    vx = _flatx(cr.vx, s3)
+    vz0 = _flatx(cr.vz0, s3)
+    vz1 = _flatx(cr.vz1, s3)
+    wz0 = _flatx(cr.wz0, s3)
+    wz1 = _flatx(cr.wz1, s3)
 
-    def column(col_rows, vy, wy):
-        g0, g1 = _pick2(col_rows, ex(cr.lane0), ex(cr.lane1))
+    def column(cols, vy, wy):
+        z = jnp.zeros_like(cols)
+        g0 = jnp.sum(jnp.where(h0, cols, z), axis=-1)        # (R,)
+        g1 = jnp.sum(jnp.where(h1, cols, z), axis=-1)
         n0, w0 = _unpack(g0)
         n1, w1 = _unpack(g1)
 
         def corner(nc, wc, vz):
             v = jnp.where(wc > 0, nc / jnp.maximum(wc, 1e-12),
                           jnp.float32(init_value))
-            valid = cr.vx & ex(vy & vz)
+            valid = vx & vy & vz
             return (jnp.where(valid, v, jnp.float32(fill_value)),
                     jnp.where(valid, wc, 0.0))
 
-        v0, fw0 = corner(n0, w0, cr.vz0)
-        v1, fw1 = corner(n1, w1, cr.vz1)
-        wz0, wz1 = ex(cr.wz0), ex(cr.wz1)
-        wyx = ex(wy)
-        return (wyx * (wz0 * v0 + wz1 * v1),
-                wyx * (wz0 * fw0 + wz1 * fw1))
+        v0, fw0 = corner(n0, w0, vz0)
+        v1, fw1 = corner(n1, w1, vz1)
+        return (wy * (wz0 * v0 + wz1 * v1),
+                wy * (wz0 * fw0 + wz1 * fw1))
 
-    vA, wA = column(rows[..., 0:128], cr.vyA, cr.wyA)
-    vB, wB = column(rows[..., 128:256], cr.vyB, cr.wyB)
-    fusion_values = jnp.sum(cr.wx * (vA + vB), axis=-1)
-    fusion_weights = jnp.sum(cr.wx * (wA + wB), axis=-1)
+    vA, wA = column(rows[:, 0:128], _flatx(cr.vyA, s3),
+                    _flatx(cr.wyA, s3))
+    vB, wB = column(rows[:, 128:256], _flatx(cr.vyB, s3),
+                    _flatx(cr.wyB, s3))
+    wx = _flatx(cr.wx, s3)
+    fusion_values = jnp.sum((wx * (vA + vB)).reshape(s3), axis=-1)
+    fusion_weights = jnp.sum((wx * (wA + wB)).reshape(s3), axis=-1)
     # y-corners whose column fell outside the clipped pair are always out
     # of bounds: they read fill_value with their full trilinear weight
     # (reference container scheme) but carry no fusion weight. Per-axis
@@ -418,56 +483,53 @@ def extract_rows(shadow: jnp.ndarray, cr: CornerRows, init_value: float,
 
 # -- integration --------------------------------------------------------------
 
-def _two_lane_vec(width, lane0, lane1, v0, v1):
-    """(..., width) vector with v0 at lane0 + v1 at lane1 (summing when
-    the lanes coincide, the degenerate sign-0 corner case)."""
-    iota = jax.lax.broadcasted_iota(jnp.int32, lane0.shape + (width,),
-                                    lane0.ndim)
-    return (jnp.where(iota == lane0[..., None], v0[..., None], 0)
-            + jnp.where(iota == lane1[..., None], v1[..., None], 0))
-
-
 class _UpdateBlock(NamedTuple):
-    """Per-ray-chunk integration inputs (all leading dims (n, t, ...))."""
-    rows: jnp.ndarray                 # (n, t, 2) scatter row per x-corner
-    l0: jnp.ndarray                   # (n, t, 2) z-corner-0 lane
-    l1: jnp.ndarray                   # (n, t, 2) z-corner-1 lane
-    w0A: jnp.ndarray                  # (n, t, 2) weight, column A corner z0
-    w1A: jnp.ndarray                  # (n, t, 2) column A corner z1
-    w0B: jnp.ndarray                  # (n, t, 2) column B corner z0
-    w1B: jnp.ndarray                  # (n, t, 2) column B corner z1
-    vals: jnp.ndarray                 # (n, t) clamped tsdf updates
-    k0A: Optional[jnp.ndarray]        # (n, t, 2) masked key, column A z0
+    """Per-ray-chunk integration inputs, all FLAT (M,) over
+    (ray, tail-sample, x-corner) -- 1-D shapes tile fully on the VPU
+    (see _flatx)."""
+    rows: jnp.ndarray                 # (M,) scatter row
+    l0: jnp.ndarray                   # (M,) z-corner-0 lane
+    l1: jnp.ndarray                   # (M,) z-corner-1 lane
+    w0A: jnp.ndarray                  # (M,) weight, column A corner z0
+    w1A: jnp.ndarray                  # (M,) column A corner z1
+    w0B: jnp.ndarray                  # (M,) column B corner z0
+    w1B: jnp.ndarray                  # (M,) column B corner z1
+    nvals: jnp.ndarray                # (M,) clamped tsdf updates
+    k0A: Optional[jnp.ndarray]        # (M,) masked key, column A z0
     k1A: Optional[jnp.ndarray]
     k0B: Optional[jnp.ndarray]
     k1B: Optional[jnp.ndarray]
 
 
 def _integrate_block(geo, key, b: _UpdateBlock):
-    def geo_lanes(w0, w1):
-        wvec = _two_lane_vec(128, b.l0, b.l1, w0, w1)
-        nvec = _two_lane_vec(128, b.l0, b.l1, w0 * b.vals[..., None],
-                             w1 * b.vals[..., None])
-        return nvec, wvec
+    iota = jax.lax.broadcasted_iota(jnp.int32, (b.rows.shape[0], 128), 1)
+    h0 = iota == b.l0[:, None]
+    h1 = iota == b.l1[:, None]
 
-    nA, wvA = geo_lanes(b.w0A, b.w1A)
-    nB, wvB = geo_lanes(b.w0B, b.w1B)
-    upd = jnp.concatenate([nA, nB, wvA, wvB], axis=-1)    # (n, t, 2, 512)
-    rows = b.rows.reshape(-1)
-    geo = geo.at[rows].add(upd.reshape(-1, 512))
+    def lanevec(v0, v1):
+        """v0 at lane l0 + v1 at lane l1 (summing when lanes coincide,
+        the degenerate sign-0 corner case)."""
+        return (jnp.where(h0, v0[:, None], 0.0)
+                + jnp.where(h1, v1[:, None], 0.0))
+
+    upd = jnp.concatenate(
+        [lanevec(b.w0A * b.nvals, b.w1A * b.nvals),
+         lanevec(b.w0B * b.nvals, b.w1B * b.nvals),
+         lanevec(b.w0A, b.w1A),
+         lanevec(b.w0B, b.w1B)], axis=-1)                 # (M, 512)
+    geo = geo.at[b.rows].add(upd)
 
     if b.k0A is None:
         return geo, key
 
     def column_keys(k0, k1):
-        zero = jnp.zeros_like(k0)
-        return jnp.maximum(_two_lane_vec(128, b.l0, b.l0, k0, zero),
-                           _two_lane_vec(128, b.l1, b.l1, k1, zero))
+        return jnp.maximum(jnp.where(h0, k0[:, None], 0),
+                           jnp.where(h1, k1[:, None], 0))
 
     kupd = jnp.concatenate([column_keys(b.k0A, b.k1A),
                             column_keys(b.k0B, b.k1B)],
-                           axis=-1)                        # (n, t, 2, 256)
-    key = key.at[rows].max(kupd.reshape(-1, 256))
+                           axis=-1)                        # (M, 256)
+    key = key.at[b.rows].max(kupd)
     return geo, key
 
 
@@ -480,31 +542,32 @@ def integrate_rows(geo, key, cr: CornerRows, values, sem_key, ray_mask,
     chunks (lax.scan carrying the donated state) so the built update
     tensors stay small."""
     t = n_tail
+    s3 = cr.s_rows[:, :t].shape                            # (n, t, 2)
 
     def cut(a):
-        return a[:, :t]
+        return _flatx(a[:, :t], s3)
 
     wx = cut(cr.wx) * cut(cr.vx)
     if ray_mask is not None:
-        wx = wx * ray_mask[:, None, None]
+        wx = wx * _flatx(jnp.broadcast_to(ray_mask[:, None],
+                                          s3[:2]), s3)
     wz0 = cut(cr.wz0) * cut(cr.vz0)
     wz1 = cut(cr.wz1) * cut(cr.vz1)
     wyA = cut(cr.wyA) * cut(cr.vyA)
     wyB = cut(cr.wyB) * cut(cr.vyB)
-    vals = values[:, :t].astype(jnp.float32)
-
-    # z-pair lanes, broadcast over the x-corner axis: (n, t, 2)
-    l0 = jnp.broadcast_to(cut(cr.slane0)[..., None], wx.shape)
-    l1 = jnp.broadcast_to(cut(cr.slane1)[..., None], wx.shape)
+    nvals = _flatx(jnp.broadcast_to(values[:, :t, None], s3)
+                   .astype(jnp.float32), s3)
 
     if sem_key is not None:
-        k = sem_key.astype(jnp.int32)[:, None, None]
+        k = jnp.broadcast_to(sem_key.astype(jnp.int32)[:, None, None], s3)
+        kx = _flatx(k, s3)
         if ray_mask is not None:
-            k = jnp.where(ray_mask[:, None, None], k, 0)
-        kx = jnp.where(cut(cr.vx), k, 0)                  # (n, t, 2)
+            kx = jnp.where(_flatx(jnp.broadcast_to(
+                ray_mask[:, None], s3[:2]), s3), kx, 0)
+        kx = jnp.where(cut(cr.vx).astype(bool), kx, 0)
 
         def keyc(vy, vz):
-            return jnp.where((vy & vz)[..., None], kx, 0)
+            return jnp.where((vy * vz).astype(bool), kx, 0)
 
         vz0b, vz1b = cut(cr.vz0), cut(cr.vz1)
         vyAb, vyBb = cut(cr.vyA), cut(cr.vyB)
@@ -514,17 +577,18 @@ def integrate_rows(geo, key, cr: CornerRows, values, sem_key, ray_mask,
         keys = (None, None, None, None)
 
     blk = _UpdateBlock(
-        rows=cut(cr.s_rows), l0=l0, l1=l1,
-        w0A=wx * (wyA * wz0)[..., None], w1A=wx * (wyA * wz1)[..., None],
-        w0B=wx * (wyB * wz0)[..., None], w1B=wx * (wyB * wz1)[..., None],
-        vals=vals, k0A=keys[0], k1A=keys[1], k0B=keys[2], k1B=keys[3])
+        rows=cr.s_rows[:, :t].reshape(-1),
+        l0=cut(cr.slane0), l1=cut(cr.slane1),
+        w0A=wx * wyA * wz0, w1A=wx * wyA * wz1,
+        w0B=wx * wyB * wz0, w1B=wx * wyB * wz1,
+        nvals=nvals, k0A=keys[0], k1A=keys[1], k0B=keys[2], k1B=keys[3])
 
-    n = blk.rows.shape[0]
-    kch = _nchunks(n, chunk)
+    m = blk.rows.shape[0]
+    kch = _nchunks(m, chunk * 2 * t)
     if kch == 1:
         return _integrate_block(geo, key, blk)
     blkk = jax.tree_util.tree_map(
-        lambda a: a.reshape((kch, n // kch) + a.shape[1:]), blk)
+        lambda a: a.reshape((kch, m // kch) + a.shape[1:]), blk)
 
     def body(carry, bc):
         return _integrate_block(carry[0], carry[1], bc), None
