@@ -66,9 +66,14 @@ __all__ = ["RowLayout", "RowVolume", "rows_from_volume", "volume_from_rows",
 _SHADOW_STRIDE = 64  # 128-wide blocks every 64 z: any 2-run fits z_lo//64,
                      # and all shadow-build slices stay 64/128-aligned
 
-# transient-memory targets for the chunked per-frame passes (rays/chunk)
-_EXTRACT_CHUNK = 8192   # gather temp ~ chunk*p*2*256*4B  (~150 MB at p=9)
-_INTEGRATE_CHUNK = 4096  # update temp ~ chunk*t*2*768*4B (~175 MB at t=7)
+# transient-memory targets for the chunked per-frame passes (rays/chunk).
+# Chunking the integrate is EXPENSIVE: every extra scatter-op pair costs a
+# full pass over the multi-GB row state (~10 ms/chunk at 448^3, measured in
+# tools/probe_integrate_unroll.py: 16 chunks = 207 ms/frame vs unchunked =
+# 79 ms). So the integrate chunk is sized to stay UNCHUNKED at 256^2 rays
+# (update temp ~2.8 GB) and split 512^2 frames into only 4 chunks.
+_EXTRACT_CHUNK = 8192    # gather temp ~ chunk*p*2*256*4B  (~150 MB at p=9)
+_INTEGRATE_CHUNK = 65536  # update temp ~ chunk*t*2*768*4B (~2.8 GB at t=7)
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -590,8 +595,12 @@ def integrate_rows(geo, key, cr: CornerRows, values, sem_key, ray_mask,
     blkk = jax.tree_util.tree_map(
         lambda a: a.reshape((kch, m // kch) + a.shape[1:]), blk)
 
-    def body(carry, bc):
-        return _integrate_block(carry[0], carry[1], bc), None
-
-    (geo, key), _ = jax.lax.scan(body, (geo, key), blkk)
+    # UNROLLED python loop, not lax.scan: a while-loop carry of the
+    # multi-GB (geo, key) state forces XLA to copy the carry every chunk
+    # iteration (~10 ms/GB/iter, measured 209 ms/frame vs the raw
+    # scatters' 63 ms at 448^3 / 16 chunks). Unrolled, each scatter
+    # aliases its input buffer and the chain runs fully in place.
+    for i in range(kch):
+        bc = jax.tree_util.tree_map(lambda a: a[i], blkk)
+        geo, key = _integrate_block(geo, key, bc)
     return geo, key

@@ -21,7 +21,8 @@ FRAMES = 8
 
 
 def sync(x):
-    return float(jnp.sum(x.astype(jnp.float32)))
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return float(jnp.sum(leaf.astype(jnp.float32)))
 
 
 def timed(label, fn, *args, per=1, reps=3):
