@@ -225,9 +225,14 @@ def _pack16(num, w):
     return (n16 << 16) | w16
 
 
-def build_shadow(geo, layout: RowLayout) -> jnp.ndarray:
+def build_shadow(geo, layout: RowLayout, impl: Optional[str] = None
+                 ) -> jnp.ndarray:
     """Split state -> (shadow_rows, 256) u32 y-paired stride-64-z shadow
     of packed (num f16 | w f16). One dense pass per frame.
+
+    ``impl``: "pallas" (one-pass VMEM kernel, 48 ms/frame at 448^3),
+    "xla" (85 ms/frame), or None = pallas on TPU, xla elsewhere. Both
+    are bit-exact to each other (tests/test_shadow_pallas.py).
 
     STRUCTURED reconcile: the four copies are summed without ever
     leaving the row form -- the cz=1 -> cz=0 z-realignment is two
@@ -237,6 +242,11 @@ def build_shadow(geo, layout: RowLayout) -> jnp.ndarray:
     (y-interleave + stride-2 y slices + unaligned 112-slices) relayouted
     ~10x more than it moved: measured 104 ms/frame at 448^3 vs the raw
     ~15 ms of traffic (tools/probe_row_stages.py)."""
+    if impl is None:
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from .pallas.shadow_build import build_shadow_pallas
+        return build_shadow_pallas(geo, layout)
     L = layout
     X, Q, ZB0, ZB1 = L.X, L.Q, L.ZB0, L.ZB1
 
