@@ -281,34 +281,51 @@ def interpolation_corners_factored(points_v: jnp.ndarray, shape):
             jnp.stack(ws, axis=-1).astype(jnp.float32))
 
 
+def pack16_numw(num: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """(num, w) f32 -> one u32 of two bf16 halves (num high, w low).
+
+    bf16 rather than f16: the packed shadow only feeds the fusion nets,
+    which run with bfloat16 compute anyway, so the 8-bit mantissa loses
+    nothing downstream -- while bf16's f32 exponent range removes the f16
+    overflow hazard at fusion weights > 65504 (long trajectories). The
+    reference stores its volumes in float16 (modules/database.py:60-76);
+    we keep the same 16-bit read budget with a TPU-native type. bf16 is
+    also the only 16-bit float Mosaic can convert in a Pallas kernel here
+    (ops/pallas/shadow_build.py builds this exact format on-chip)."""
+    nb = jax.lax.bitcast_convert_type(
+        num.astype(jnp.float32).astype(jnp.bfloat16).astype(jnp.float32),
+        jnp.uint32)
+    wb = jax.lax.bitcast_convert_type(
+        w.astype(jnp.float32).astype(jnp.bfloat16).astype(jnp.float32),
+        jnp.uint32)
+    return (nb & jnp.uint32(0xFFFF0000)) | (wb >> 16)
+
+
+def unpack16_numw(g: jnp.ndarray):
+    """Inverse of :func:`pack16_numw`: u32 -> (num f32, w f32)."""
+    num = jax.lax.bitcast_convert_type(
+        g & jnp.uint32(0xFFFF0000), jnp.float32)
+    w = jax.lax.bitcast_convert_type(g << 16, jnp.float32)
+    return num, w
+
+
 def trilinear_gather_packed16(points_v: jnp.ndarray, num_volume: jnp.ndarray,
                               weights_volume: jnp.ndarray, init_value: float,
                               fill_value: float = INVALID_TSDF_FILL):
     """Half the gather count of :func:`trilinear_gather_numw`: (num, w) are
-    packed per voxel into one uint32 (two f16 halves) in a single fused
-    full-volume pass (~bandwidth cost of one elementwise op), then each
-    corner needs ONE random access instead of two. Random scalar access is
-    the measured bottleneck on TPU (PERFORMANCE.md), so trading a linear
-    pass for half the gathers wins.
-
-    f16 read precision matches the reference, which stores its volumes in
-    float16 (reference modules/database.py:60-76).
+    packed per voxel into one uint32 (two bf16 halves, see pack16_numw) in
+    a single fused full-volume pass (~bandwidth cost of one elementwise
+    op), then each corner needs ONE random access instead of two. Random
+    scalar access is the measured bottleneck on TPU (PERFORMANCE.md), so
+    trading a linear pass for half the gathers wins.
     """
     shape = num_volume.shape
-    # pack: num in the high half, w in the low half
-    num16 = jax.lax.bitcast_convert_type(
-        num_volume.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
-    w16 = jax.lax.bitcast_convert_type(
-        weights_volume.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
-    packed = ((num16 << 16) | w16).reshape(-1)
+    packed = pack16_numw(num_volume, weights_volume).reshape(-1)
 
     lin, valid, weights = interpolation_corners_factored(points_v, shape)
 
     g = jnp.take(packed, lin, axis=0)
-    num_c = jax.lax.bitcast_convert_type(
-        (g >> 16).astype(jnp.uint16), jnp.float16).astype(jnp.float32)
-    w_c = jax.lax.bitcast_convert_type(
-        (g & 0xFFFF).astype(jnp.uint16), jnp.float16).astype(jnp.float32)
+    num_c, w_c = unpack16_numw(g)
     v_c = jnp.where(w_c > 0, num_c / jnp.maximum(w_c, 1e-12),
                     jnp.float32(init_value))
     v_c = jnp.where(valid, v_c, jnp.float32(fill_value))

@@ -1,7 +1,7 @@
 """Pallas TPU kernel for the per-frame gather-shadow build.
 
 ``rowvol.build_shadow`` reconciles the 4-copy split scatter state into the
-stride-64 packed-f16 gather shadow once per frame. The XLA implementation
+stride-64 packed-bf16 gather shadow once per frame. The XLA implementation
 is a chain of pads/concats/stacks that materialises ~16 multi-hundred-MB
 intermediates: measured 85 ms/frame at 448^3 (tools/probe_shadow_steps.py)
 against ~5 ms of raw HBM traffic (read 2.7 GB f32 state + write 1.5 GB u32
@@ -18,14 +18,15 @@ rows costs nothing), with the q==0 / q==Q-1 wrap garbage masked in-kernel
 by a global-q iota.
 
 Environment constraints honoured (probed in tools/probe_pallas_caps.py):
-Mosaic here rejects f16 converts/bitcasts, so the f32 -> f16 packing is
-done with bit-exact RTNE integer arithmetic on the f32 bit patterns;
-64-lane static slices/concats, major-dim reshapes, 128-lane component
-slices, and 3-D iota masks are all supported and used.
+Mosaic here rejects f16 and 16-bit bitcasts, so the 16-bit halves are
+bf16, packed through full-width f32<->i32 bitcasts only (see _pack16 --
+the same format geometry.pack16_numw uses on the XLA side); 64-lane
+static slices/concats, major-dim reshapes, 128-lane component slices,
+and 3-D iota masks are all supported and used.
 
 Reference semantics being reproduced: modules/extractor.py:640-681 reads
 (tsdf, weight) pairs per trilinear corner; this shadow serves those reads
-as packed (f16 num | f16 w) lanes.
+as packed (bf16 num | bf16 w) lanes.
 """
 
 from __future__ import annotations
@@ -44,55 +45,22 @@ def _pick_tq(Q: int, max_tq: int = 32) -> int:
     return 1
 
 
-def _f16_bits(x: jnp.ndarray) -> jnp.ndarray:
-    """f32 -> IEEE f16 bit pattern (low 16 bits of an i32), round-to-
-    nearest-even -- bit-exact with XLA's convert_element_type(f32, f16)
-    including subnormals, overflow-to-inf, inf and nan.
-
-    Mosaic on this stack cannot lower f16 converts OR unsigned i32 ops
-    (arith.maxui etc.), so everything runs in SIGNED i32: every field
-    (exponent 8b, mantissa 23b, shifted values) fits in a non-negative
-    i32, where arithmetic shifts equal logical shifts."""
-    u = jax.lax.bitcast_convert_type(x, jnp.int32)
-    sign = jnp.where(u < 0, jnp.int32(0x8000), jnp.int32(0))
-    e = (u >> 23) & 0xFF          # arith shift of negatives fixed by mask
-    m = u & 0x7FFFFF
-
-    E = e - 112                                   # f16 exponent field
-    # --- normal path (1 <= E <= 30): mantissa >> 13 with RTNE
-    base = (E << 10) | (m >> 13)
-    rem = m & 0x1FFF
-    lsb = ((m >> 13) & 1) == 1
-    round_up = (rem > 0x1000) | ((rem == 0x1000) & lsb)
-    normal = base + round_up.astype(jnp.int32)    # may carry into exp:
-    #                                               0x7BFF+1 = inf, correct
-    # --- subnormal path (E <= 0): value = (0x800000|m) >> (14 - E), RTNE
-    M = m | 0x800000
-    sh = jnp.clip(14 - E, 0, 30)
-    sub = M >> sh
-    half = jnp.int32(1) << (jnp.maximum(sh, 1) - 1)
-    rem_s = M & ((jnp.int32(1) << sh) - 1)
-    round_up_s = (rem_s > half) | ((rem_s == half) & ((sub & 1) == 1))
-    sub = sub + round_up_s.astype(jnp.int32)
-    # E < -11 always rounds to zero (sh >= 25: M < 2^24 << half = 2^(sh-1))
-    sub = jnp.where(E < -11, jnp.int32(0), sub)
-
-    h = jnp.where(E >= 31, jnp.int32(0x7C00),             # overflow -> inf
-                  jnp.where(E >= 1, normal, sub))
-    # e == 255: inf stays inf; nan -> quiet nan with mantissa msb set
-    nan = jnp.int32(0x7E00) | (m >> 13)
-    h = jnp.where(e == 255, jnp.where(m == 0, jnp.int32(0x7C00), nan), h)
-    # f32 zero / subnormal input (e == 0) -> signed zero
-    h = jnp.where(e == 0, jnp.int32(0), h)
-    return sign | h
-
-
 def _pack16(num, w):
-    """(f16(num) << 16) | f16(w), assembled in i32 and bitcast to u32
-    (the high f16's sign lands in the i32 sign bit -- bit pattern is
-    identical either way)."""
-    packed = (_f16_bits(num) << 16) | _f16_bits(w)
-    return jax.lax.bitcast_convert_type(packed, jnp.uint32)
+    """(bf16(num) << 16) | bf16(w) -- same format as geometry.pack16_numw.
+
+    Native f32->bf16 converts (RTNE) with only full-width f32<->i32
+    bitcasts: Mosaic on this stack cannot lower f16 or 16-bit bitcasts
+    (probed in tools/probe_pallas_caps.py), but bf16's bit pattern is
+    simply the high half of the widened f32, so no 16-bit type is ever
+    materialised. ~4 ops/element vs ~28 for the earlier integer-RTNE f16
+    pack, which dominated the kernel's VPU time."""
+    nb = jax.lax.bitcast_convert_type(
+        num.astype(jnp.bfloat16).astype(jnp.float32), jnp.int32)
+    wb = jax.lax.bitcast_convert_type(
+        w.astype(jnp.bfloat16).astype(jnp.float32), jnp.int32)
+    hi = nb & jnp.int32(-65536)              # 0xFFFF0000 in signed i32
+    lo = (wb >> 16) & jnp.int32(0xFFFF)      # mask the arith-shift fill
+    return jax.lax.bitcast_convert_type(hi | lo, jnp.uint32)
 
 
 def _kernel(c00, c01, c10, c11, s00, s01, s10, s11, out,
@@ -174,7 +142,7 @@ def _blocks64(p, TQ, ZB0):
 def build_shadow_pallas(geo: jnp.ndarray, layout, interpret: bool = False,
                         max_tq: int = 32) -> jnp.ndarray:
     """Drop-in Pallas replacement for ``rowvol.build_shadow`` (bit-exact:
-    same reconcile arithmetic, same f32->f16 RTNE packing)."""
+    same reconcile arithmetic, same f32->bf16 RTNE packing)."""
     L = layout
     X, Q, ZB0, ZB1, NBS = L.X, L.Q, L.ZB0, L.ZB1, L.NBS
     TQ = _pick_tq(Q, max_tq)

@@ -26,7 +26,7 @@ scatter-adds + 2 scatter-maxes instead of 8 + 16 + 8 scalar ops.
 Straddle-free by construction
 -----------------------------
 * Gather shadow (read-only, rebuilt per frame): u32-packed
-  (num f16 | w f16), 2 y-parity copies, z-blocks OVERLAPPED with stride
+  (num bf16 | w bf16), 2 y-parity copies, z-blocks OVERLAPPED with stride
   112 -- any z-run of length <= 16 lies fully inside block
   ``z_lo // 112``, so the z-pair never straddles a block; the y-parity
   copy ``y_lo % 2`` holds the y-pair in one row.
@@ -218,17 +218,14 @@ def volume_from_rows(geo, key, layout: RowLayout):
 # -- gather shadow ------------------------------------------------------------
 
 def _pack16(num, w):
-    n16 = jax.lax.bitcast_convert_type(
-        num.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
-    w16 = jax.lax.bitcast_convert_type(
-        w.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
-    return (n16 << 16) | w16
+    from .geometry import pack16_numw
+    return pack16_numw(num, w)
 
 
 def build_shadow(geo, layout: RowLayout, impl: Optional[str] = None
                  ) -> jnp.ndarray:
     """Split state -> (shadow_rows, 256) u32 y-paired stride-64-z shadow
-    of packed (num f16 | w f16). One dense pass per frame.
+    of packed (num bf16 | w bf16). One dense pass per frame.
 
     ``impl``: "pallas" (one-pass VMEM kernel, 48 ms/frame at 448^3),
     "xla" (85 ms/frame), or None = pallas on TPU, xla elsewhere. Both
@@ -406,11 +403,8 @@ def corner_rows(points_v: jnp.ndarray, layout: RowLayout) -> CornerRows:
 # -- extraction ---------------------------------------------------------------
 
 def _unpack(g):
-    num = jax.lax.bitcast_convert_type(
-        (g >> 16).astype(jnp.uint16), jnp.float16).astype(jnp.float32)
-    w = jax.lax.bitcast_convert_type(
-        (g & 0xFFFF).astype(jnp.uint16), jnp.float16).astype(jnp.float32)
-    return num, w
+    from .geometry import unpack16_numw
+    return unpack16_numw(g)
 
 
 def _flatx(a, shape3):
@@ -478,7 +472,7 @@ def _extract_block(shadow, cr: CornerRows, init_value: float,
 def extract_rows(shadow: jnp.ndarray, cr: CornerRows, init_value: float,
                  fill_value: float, chunk: int = _EXTRACT_CHUNK):
     """Trilinear (fusion_values, fusion_weights): TWO 256-lane row
-    gathers per (ray, sample) -- numerically the packed-f16 flat path
+    gathers per (ray, sample) -- numerically the packed-bf16 flat path
     (geometry.trilinear_gather_packed16) with 4x fewer random accesses.
     Rays are processed in chunks so the gathered row tensor stays at a
     few hundred MB for full-resolution frames."""

@@ -9,35 +9,45 @@ import jax.numpy as jnp
 import pytest
 
 from segfusion_tpu.ops import rowvol
-from segfusion_tpu.ops.pallas.shadow_build import (_f16_bits,
+from segfusion_tpu.ops.geometry import pack16_numw, unpack16_numw
+from segfusion_tpu.ops.pallas.shadow_build import (_pack16,
                                                    build_shadow_pallas)
 
 
-def test_f16_bits_matches_xla_convert():
-    rng = np.random.RandomState(0)
-    vals = np.concatenate([
+def _edge_floats(rng):
+    return np.concatenate([
         rng.randn(4096).astype(np.float32) * 0.1,          # typical tsdf
-        rng.randn(4096).astype(np.float32) * 100.0,        # large weights
-        rng.uniform(1e-9, 1e-4, 2048).astype(np.float32),  # f16 subnormals
-        np.array([0.0, -0.0, np.inf, -np.inf, np.nan,
-                  65504.0, 65520.0, -65520.0, 1e9, -1e9,
-                  6.1e-5, 5.96e-8, 2.98e-8, -2.98e-8, 1e-10,
-                  2.0 ** -24, 2.0 ** -25, 1.5 * 2.0 ** -25],
+        rng.randn(4096).astype(np.float32) * 1000.0,       # large weights
+        rng.uniform(1e-9, 1e-4, 2048).astype(np.float32),  # tiny weights
+        np.array([0.0, -0.0, 65504.0, 1e9, -1e9, 3.4e38,
+                  1e-38, -1e-38, 1.0 + 2 ** -9, 1.0 + 2 ** -8],
                  np.float32),
     ])
-    # pad to a (rows, 128) lane shape
+
+
+def test_kernel_pack_matches_pack16_numw():
+    """The kernel's i32-bitcast bf16 pack == geometry.pack16_numw."""
+    rng = np.random.RandomState(0)
+    vals = _edge_floats(rng)
     n = -(-vals.size // 128) * 128
-    vals = np.pad(vals, (0, n - vals.size)).reshape(-1, 128)
-    got = np.asarray(jax.jit(_f16_bits)(jnp.asarray(vals)))
-    want = np.asarray(
-        jax.lax.bitcast_convert_type(
-            jnp.asarray(vals).astype(jnp.float16), jnp.uint16)
-    ).astype(np.uint32)
-    # nan payloads may differ in mantissa bits; compare nans by nan-ness
-    isnan = np.isnan(vals)
-    assert np.array_equal(got[~isnan] & 0xFFFF, want[~isnan])
-    got_h = (got[isnan] & 0x7FFF)
-    assert np.all(got_h > 0x7C00)          # still a nan pattern
+    num = np.pad(vals, (0, n - vals.size)).reshape(-1, 128)
+    w = np.abs(num[::-1].copy())
+    got = np.asarray(jax.jit(_pack16)(jnp.asarray(num), jnp.asarray(w)))
+    want = np.asarray(jax.jit(pack16_numw)(jnp.asarray(num),
+                                           jnp.asarray(w)))
+    assert np.array_equal(got, want)
+
+
+def test_unpack_roundtrip_is_bf16():
+    rng = np.random.RandomState(1)
+    x = rng.randn(256, 128).astype(np.float32) * 5.0
+    w = np.abs(rng.randn(256, 128).astype(np.float32)) * 100.0
+    n2, w2 = jax.jit(unpack16_numw)(jax.jit(pack16_numw)(
+        jnp.asarray(x), jnp.asarray(w)))
+    assert np.array_equal(np.asarray(n2),
+                          x.astype(jnp.bfloat16).astype(np.float32))
+    assert np.array_equal(np.asarray(w2),
+                          w.astype(jnp.bfloat16).astype(np.float32))
 
 
 @pytest.mark.parametrize("shape", [(24, 20, 160), (16, 17, 300),
