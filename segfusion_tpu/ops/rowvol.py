@@ -98,6 +98,7 @@ class RowLayout(NamedTuple):
     ZB1: int     # z-blocks per cz=1 copy: blocks 1..(Z-1)//128, stored -1
     Q: int       # y-pairs per copy: ceil(Y/2)
     NBS: int     # shadow z-blocks (stride 64): 2 * ZB0
+    GK: int      # key z-slot groups: ceil(Z/32) (32 slots per key row)
 
     @staticmethod
     def for_shape(shape: Tuple[int, int, int]) -> "RowLayout":
@@ -107,7 +108,7 @@ class RowLayout(NamedTuple):
         # landing in cz=1 block b = k + 1 -- so blocks 1..(Z-1)//128
         ZB1 = max((Z - 1) // 128 if Z >= 129 else 0, 1)
         return RowLayout(X=X, Y=Y, Z=Z, Zp=ZB0 * 128, ZB0=ZB0, ZB1=ZB1,
-                         Q=_cdiv(Y, 2), NBS=2 * ZB0)
+                         Q=_cdiv(Y, 2), NBS=2 * ZB0, GK=_cdiv(Z, 32))
 
     # scatter-state rows: copies (cy, cz) outermost, then (x, q, b)
     @property
@@ -118,15 +119,35 @@ class RowLayout(NamedTuple):
     def shadow_rows(self) -> int:
         return 2 * self.X * self.Q * self.NBS
 
+    @property
+    def key_rows(self) -> int:
+        """Key slot-state rows (x, y, z-group); see KEY SLOT LAYOUT."""
+        return self.X * self.Y * self.GK
+
     def copy_blocks(self, cz: int) -> int:
         return self.ZB1 if cz else self.ZB0
+
+
+# KEY SLOT LAYOUT. The semantic key state is never read inside the frame
+# loop (extraction reads only the geo shadow; keys materialise once at
+# scan exit), so its layout is chosen purely for scatter-max cost: rows
+# keyed by (x, y_lo, z-group g), 128 lanes = 4 corner components x 32
+# z-slots, lane = 32*c + (z_lo % 32) with components
+#   c=0: (y_lo,   z_lo)    c=1: (y_lo,   z_lo+1)
+#   c=2: (y_lo+1, z_lo)    c=3: (y_lo+1, z_lo+1).
+# ALL FOUR (y, z) corners of a sample live in ONE row, so the scatter-max
+# is a single (M, 128) op -- measured 21.6 ms/frame vs 27.1 for the
+# previous y-paired (M, 256) parity-copy form at 448^3/256^2, with half
+# the update-build bytes, and no parity copies at all (a voxel's key mass
+# spreads over the 4 neighbour slots instead; the exit reconcile maxes
+# them back, tools/probe_slot_scatter.py).
 
 
 class RowVolume(NamedTuple):
     """Scene state in scatter-row form (carried through row-path scans;
     converted from/to SceneVolume at scan boundaries)."""
     geo: jnp.ndarray      # (rows, 512) f32 lanes [numA|numB|wA|wB]
-    key: jnp.ndarray      # (rows, 256) i32 lanes [keyA|keyB]
+    key: jnp.ndarray      # (key_rows, 128) i32 slot rows (KEY SLOT LAYOUT)
     origin: jnp.ndarray
     resolution: jnp.ndarray
     init_value: float
@@ -156,12 +177,14 @@ def rows_from_volume(num, w, key, layout: RowLayout):
     geo = jnp.concatenate(
         [geo00, jnp.zeros((L.rows - s00, 512), jnp.float32)], axis=0)
 
-    kA, kB = pairs00(key.astype(jnp.int32))
-    key00 = jnp.concatenate(
-        [x.reshape(L.X, L.Q, L.ZB0, 128) for x in (kA, kB)],
-        axis=-1).reshape(s00, 256)
+    # key slots: all mass in component 0 (corner (y_lo, z_lo) == the
+    # voxel itself), lanes [0:32); other components start at max's
+    # neutral 0 (keys are non-negative packed (score, id))
+    kp = jnp.pad(key.astype(jnp.int32),
+                 ((0, 0), (0, 0), (0, 32 * L.GK - L.Z)))
+    k0 = kp.reshape(L.X * L.Y * L.GK, 32)
     krows = jnp.concatenate(
-        [key00, jnp.zeros((L.rows - s00, 256), jnp.int32)], axis=0)
+        [k0, jnp.zeros((L.key_rows, 96), jnp.int32)], axis=-1)
     return geo, krows
 
 
@@ -176,14 +199,13 @@ def _place(A, B, cy: int, L: RowLayout):
 
 
 def _reconcile(geo, key, layout: RowLayout, want_key: bool):
-    """Sum/max the four copies back to canonical (X, Y, Z). Copy cz's
+    """Sum the four geo copies back to canonical (X, Y, Z). Copy cz's
     z-block b covers z = 128*(b + cz) - 64*cz + lane (cz=1 blocks are
     stored shifted by one, starting at z = 64)."""
     L = layout
     zext = max(L.Zp, 64 + L.ZB1 * 128)
     num = jnp.zeros((L.X, L.Y, zext), jnp.float32)
     w = jnp.zeros((L.X, L.Y, zext), jnp.float32)
-    k = jnp.zeros((L.X, L.Y, zext), jnp.int32) if want_key else None
 
     off = 0
     for cy in (0, 1):
@@ -199,18 +221,38 @@ def _reconcile(geo, key, layout: RowLayout, want_key: bool):
                 _place(flat(nA), flat(nB), cy, L))
             w = w.at[:, :, zoff:zoff + span].add(
                 _place(flat(wA), flat(wB), cy, L))
-            if want_key:
-                kk = key[off:off + size].reshape(L.X, L.Q, nblk, 256)
-                k = k.at[:, :, zoff:zoff + span].max(
-                    _place(flat(kk[..., 0:128]), flat(kk[..., 128:256]),
-                           cy, L))
             off += size
     cutz = lambda a: a[:, :, :L.Z]
-    return cutz(num), cutz(w), cutz(k) if want_key else None
+    k = _reconcile_key(key, layout) if want_key else None
+    return cutz(num), cutz(w), k
+
+
+def _reconcile_key(key, layout: RowLayout):
+    """Max the 4 slot components back to canonical (X, Y, Z): voxel
+    (y, z) collects comp 0 of slot (y, z), comp 1 of (y, z-1), comp 2 of
+    (y-1, z), comp 3 of (y-1, z-1). Runs ONCE per sequence (scan exit),
+    so the slot->plane relayout cost is amortised."""
+    L = layout
+    s = key.reshape(L.X, L.Y, L.GK, 4, 32)
+    Zs = 32 * L.GK
+
+    def plane(c):
+        return s[:, :, :, c, :].reshape(L.X, L.Y, Zs)
+
+    def zshift(a):        # value from slot z-1 (component covers z_lo+1)
+        return jnp.pad(a, ((0, 0), (0, 0), (1, 0)))[:, :, :Zs]
+
+    def yshift(a):        # value from row y-1 (component covers y_lo+1)
+        return jnp.pad(a, ((0, 0), (1, 0), (0, 0)))[:, :L.Y]
+
+    k = jnp.maximum(plane(0), zshift(plane(1)))
+    k = jnp.maximum(k, yshift(plane(2)))
+    k = jnp.maximum(k, yshift(zshift(plane(3))))
+    return k[:, :, :L.Z]
 
 
 def volume_from_rows(geo, key, layout: RowLayout):
-    """Reconcile the four copies back to canonical (X, Y, Z)."""
+    """Reconcile the split copies / key slots back to canonical."""
     num, w, k = _reconcile(geo, key, layout, want_key=True)
     return num, w, k
 
@@ -325,6 +367,10 @@ class CornerRows(NamedTuple):
     wz1: jnp.ndarray       # (n, p) z-corner-1 weight
     vz0: jnp.ndarray       # (n, p) z-corner-0 in-bounds
     vz1: jnp.ndarray       # (n, p) z-corner-1 in-bounds
+    k_rows: jnp.ndarray    # (n, p, 2) key slot row per x-corner
+    ksl: jnp.ndarray       # (n, p) key z-slot (z_lo % 32)
+    dz0: jnp.ndarray       # (n, p) z-corner-0 offset from z_lo (0/1)
+    dz1: jnp.ndarray       # (n, p) z-corner-1 offset from z_lo (0/1)
 
 
 def corner_rows(points_v: jnp.ndarray, layout: RowLayout) -> CornerRows:
@@ -389,6 +435,11 @@ def corner_rows(points_v: jnp.ndarray, layout: RowLayout) -> CornerRows:
     s_rows = cbase[..., None] \
         + (xs * L.Q + q[..., None]) * zbc[..., None] + boff[..., None]
 
+    # --- key slot rows (KEY SLOT LAYOUT): one row holds all 4 (y, z)
+    # corners of this sample
+    k_rows = (xs * L.Y + y_lo_c[..., None]) * L.GK \
+        + (z_lo // 32)[..., None]
+
     return CornerRows(
         g_rows=g_rows, s_rows=s_rows,
         lane0=lane0, lane1=lane1, slane0=slane0, slane1=slane1,
@@ -397,7 +448,8 @@ def corner_rows(points_v: jnp.ndarray, layout: RowLayout) -> CornerRows:
         wyA=wyA.astype(jnp.float32), wyB=wyB.astype(jnp.float32),
         vyA=vyA, vyB=vyB,
         wz0=wz0.astype(jnp.float32), wz1=wz1.astype(jnp.float32),
-        vz0=vz0, vz1=vz1)
+        vz0=vz0, vz1=vz1,
+        k_rows=k_rows, ksl=z_lo % 32, dz0=z0c - z_lo, dz1=z1c - z_lo)
 
 
 # -- extraction ---------------------------------------------------------------
@@ -504,10 +556,9 @@ class _UpdateBlock(NamedTuple):
     w0B: jnp.ndarray                  # (M,) column B corner z0
     w1B: jnp.ndarray                  # (M,) column B corner z1
     nvals: jnp.ndarray                # (M,) clamped tsdf updates
-    k0A: Optional[jnp.ndarray]        # (M,) masked key, column A z0
-    k1A: Optional[jnp.ndarray]
-    k0B: Optional[jnp.ndarray]
-    k1B: Optional[jnp.ndarray]
+    k_rows: Optional[jnp.ndarray]     # (M,) key slot row
+    ksl: Optional[jnp.ndarray]        # (M,) key z-slot (z_lo % 32)
+    kvals: Optional[jnp.ndarray]      # (M, 4) masked keys per component
 
 
 def _integrate_block(geo, key, b: _UpdateBlock):
@@ -528,28 +579,27 @@ def _integrate_block(geo, key, b: _UpdateBlock):
          lanevec(b.w0B, b.w1B)], axis=-1)                 # (M, 512)
     geo = geo.at[b.rows].add(upd)
 
-    if b.k0A is None:
+    if b.kvals is None:
         return geo, key
 
-    def column_keys(k0, k1):
-        return jnp.maximum(jnp.where(h0, k0[:, None], 0),
-                           jnp.where(h1, k1[:, None], 0))
-
-    kupd = jnp.concatenate([column_keys(b.k0A, b.k1A),
-                            column_keys(b.k0B, b.k1B)],
-                           axis=-1)                        # (M, 256)
-    key = key.at[b.rows].max(kupd)
+    # key slot row: lane = 32*c + ksl, ONE (M, 128) scatter-max for all
+    # four (y, z) corners (KEY SLOT LAYOUT)
+    hk = (jax.lax.broadcasted_iota(
+        jnp.int32, (b.kvals.shape[0], 4, 32), 2) == b.ksl[:, None, None])
+    kupd = jnp.where(hk, b.kvals[:, :, None], 0).reshape(-1, 128)
+    key = key.at[b.k_rows].max(kupd)
     return geo, key
 
 
 def integrate_rows(geo, key, cr: CornerRows, values, sem_key, ray_mask,
                    n_tail: int, chunk: int = _INTEGRATE_CHUNK):
-    """Scatter the frame's updates into the split row state: ONE 512-lane
-    scatter-add (num and w, both y columns, both z corners) and ONE
-    256-lane scatter-max per (ray, tail-sample, x-corner). Reference
-    update math: modules/integrator.py:55-124. Rays stream through in
-    chunks (lax.scan carrying the donated state) so the built update
-    tensors stay small."""
+    """Scatter the frame's updates into the row state: ONE 512-lane
+    scatter-add (num and w, both y columns, both z corners) into the
+    split parity copies and ONE 128-lane scatter-max into the key slot
+    state (all four (y, z) corners in one row, KEY SLOT LAYOUT) per
+    (ray, tail-sample, x-corner). Reference update math:
+    modules/integrator.py:55-124. Large frames stream through in a few
+    python-unrolled chunks so the built update tensors stay bounded."""
     t = n_tail
     s3 = cr.s_rows[:, :t].shape                            # (n, t, 2)
 
@@ -575,22 +625,28 @@ def integrate_rows(geo, key, cr: CornerRows, values, sem_key, ray_mask,
                 ray_mask[:, None], s3[:2]), s3), kx, 0)
         kx = jnp.where(cut(cr.vx).astype(bool), kx, 0)
 
-        def keyc(vy, vz):
-            return jnp.where((vy * vz).astype(bool), kx, 0)
-
-        vz0b, vz1b = cut(cr.vz0), cut(cr.vz1)
-        vyAb, vyBb = cut(cr.vyA), cut(cr.vyB)
-        keys = (keyc(vyAb, vz0b), keyc(vyAb, vz1b),
-                keyc(vyBb, vz0b), keyc(vyBb, vz1b))
+        # slot-component masks: which valid z-candidate sits at slot
+        # offset 0 / 1 (degenerate pairs have dz0 == dz1 == 0)
+        dz0, dz1 = cut(cr.dz0), cut(cr.dz1)
+        vz0b, vz1b = cut(cr.vz0).astype(bool), cut(cr.vz1).astype(bool)
+        m0 = ((dz0 == 0) & vz0b) | ((dz1 == 0) & vz1b)
+        m1 = ((dz0 == 1) & vz0b) | ((dz1 == 1) & vz1b)
+        vyAb, vyBb = cut(cr.vyA).astype(bool), cut(cr.vyB).astype(bool)
+        kvals = jnp.stack(
+            [jnp.where(vyAb & m0, kx, 0), jnp.where(vyAb & m1, kx, 0),
+             jnp.where(vyBb & m0, kx, 0), jnp.where(vyBb & m1, kx, 0)],
+            axis=-1)                                       # (M, 4)
+        k_rows = cr.k_rows[:, :t].reshape(-1)
+        ksl = cut(cr.ksl)
     else:
-        keys = (None, None, None, None)
+        kvals = k_rows = ksl = None
 
     blk = _UpdateBlock(
         rows=cr.s_rows[:, :t].reshape(-1),
         l0=cut(cr.slane0), l1=cut(cr.slane1),
         w0A=wx * wyA * wz0, w1A=wx * wyA * wz1,
         w0B=wx * wyB * wz0, w1B=wx * wyB * wz1,
-        nvals=nvals, k0A=keys[0], k1A=keys[1], k0B=keys[2], k1B=keys[3])
+        nvals=nvals, k_rows=k_rows, ksl=ksl, kvals=kvals)
 
     m = blk.rows.shape[0]
     kch = _nchunks(m, chunk * 2 * t)

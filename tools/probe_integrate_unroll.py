@@ -51,7 +51,7 @@ def main():
     rng = np.random.RandomState(0)
     pts = ray_points(rng)
     geo = jnp.zeros((L.rows, 512), jnp.float32)
-    key = jnp.zeros((L.rows, 256), jnp.int32)
+    key = jnp.zeros((L.key_rows, 128), jnp.int32)
     vals = jnp.asarray(rng.randn(N, T).astype(np.float32) * 0.05)
     sem = jnp.asarray(rng.randint(1, 1 << 20, N).astype(np.int32))
     cr = jax.jit(rowvol.corner_rows, static_argnums=1)(pts, L)

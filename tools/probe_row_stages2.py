@@ -60,7 +60,7 @@ def main():
     rng = np.random.RandomState(0)
     pts = ray_points(rng)
     geo = jnp.zeros((L.rows, 512), jnp.float32)
-    key = jnp.zeros((L.rows, 256), jnp.int32)
+    key = jnp.zeros((L.key_rows, 128), jnp.int32)
     shadow = jax.jit(rowvol.build_shadow, static_argnums=1)(geo, L)
     vals = jnp.asarray(rng.randn(N, T).astype(np.float32) * 0.05)
     sem = jnp.asarray(rng.randint(1, 1 << 20, N).astype(np.int32))
