@@ -292,13 +292,17 @@ def pack16_numw(num: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     we keep the same 16-bit read budget with a TPU-native type. bf16 is
     also the only 16-bit float Mosaic can convert in a Pallas kernel here
     (ops/pallas/shadow_build.py builds this exact format on-chip)."""
-    nb = jax.lax.bitcast_convert_type(
-        num.astype(jnp.float32).astype(jnp.bfloat16).astype(jnp.float32),
-        jnp.uint32)
-    wb = jax.lax.bitcast_convert_type(
-        w.astype(jnp.float32).astype(jnp.bfloat16).astype(jnp.float32),
-        jnp.uint32)
-    return (nb & jnp.uint32(0xFFFF0000)) | (wb >> 16)
+    # RTNE at bit 16 via the classic add-half-to-even INTEGER trick, not
+    # astype(bfloat16): under --xla_allow_excess_precision (set by this
+    # environment's TPU compiler) XLA elides the bf16 down-up round-trip
+    # and silently truncates instead of rounding; the integer form is
+    # deterministic, bit-identical on CPU/TPU/Pallas, and cheaper.
+    nb = jax.lax.bitcast_convert_type(num.astype(jnp.float32), jnp.uint32)
+    wb = jax.lax.bitcast_convert_type(w.astype(jnp.float32), jnp.uint32)
+    nr = (nb + (jnp.uint32(0x7FFF) + ((nb >> 16) & 1))) \
+        & jnp.uint32(0xFFFF0000)
+    wr = (wb + (jnp.uint32(0x7FFF) + ((wb >> 16) & 1))) >> 16
+    return nr | wr
 
 
 def unpack16_numw(g: jnp.ndarray):

@@ -1,32 +1,39 @@
-"""Pallas TPU kernel for the per-frame gather-shadow build.
+"""Pallas TPU kernel for the per-frame gather-shadow build (slot layout).
 
-``rowvol.build_shadow`` reconciles the 4-copy split scatter state into the
-stride-64 packed-bf16 gather shadow once per frame. The XLA implementation
-is a chain of pads/concats/stacks that materialises ~16 multi-hundred-MB
-intermediates: measured 85 ms/frame at 448^3 (tools/probe_shadow_steps.py)
-against ~5 ms of raw HBM traffic (read 2.7 GB f32 state + write 1.5 GB u32
-shadow). This kernel does the whole reconcile -> pack -> restride in ONE
-pass through VMEM.
+``rowvol.build_shadow`` reconciles the slot scatter state into the
+packed-bf16 gather shadow once per frame. The XLA implementation pays
+multiple materialised relayout passes over the multi-GB state; this
+kernel does reconcile -> pack -> 4-component shadow assembly in ONE
+double-buffered pass through VMEM.
 
-Key structural fact (see rowvol.build_shadow): every output shadow row of
-volume-x slice ``x`` depends ONLY on state rows of the same ``x`` -- the
-y-realignment crosses q and the z-realignment crosses z-blocks, but
-nothing crosses x. The grid therefore tiles (x, q-tile) with NO halo
-exchange: the q-1 / q+1 neighbours needed by the cy-realignment are fed
-as row-shifted *views* of the same flat state array (a shifted slice of
-rows costs nothing), with the q==0 / q==Q-1 wrap garbage masked in-kernel
-by a global-q iota.
+Structure (see rowvol.py SLOT LAYOUT):
+- geo state rows (x, 1 + y, g): 128 lanes = 8 components x 16 z-slots,
+  with zero pad rows at y = -1 and y = Y per x -- the pad rows make the
+  y-halo DMA unconditionally in-bounds.
+- reconciled voxel value: num(y, z) = nA0(y, z) + nA1(y, z-1)
+  + nB0(y-1, z) + nB1(y-1, z-1) (same for w); z-shifts are group-local
+  lane rotates with a group-boundary carry, y-shifts are row slices of
+  the haloed slab.
+- shadow rows (x, y, gk): 128 lanes = 4 corner components x 32 z-slots;
+  the components are [P, P(z+1), P(y+1), P(y+1, z+1)] -- plain shifted
+  copies of ONE packed P, so P is computed once per tile for TY+1 rows
+  and the components are narrow shifts/slices of it.
 
-Environment constraints honoured (probed in tools/probe_pallas_caps.py):
-Mosaic here rejects f16 and 16-bit bitcasts, so the 16-bit halves are
-bf16, packed through full-width f32<->i32 bitcasts only (see _pack16 --
-the same format geometry.pack16_numw uses on the XLA side); 64-lane
-static slices/concats, major-dim reshapes, 128-lane component slices,
-and 3-D iota masks are all supported and used.
+Grid (x, y-tile) with an explicitly double-buffered halo DMA: tile
+(x, j) loads geo rows [(x*(Y+2) + j*TY) * G, +(TY+2)*G) -- its y-halo on
+both sides -- into slab[i%2] while tile i-1 computes (Pallas BlockSpecs
+cannot express overlapping windows; the manual copy reads each state row
+once instead of the 2-3x of shifted-view inputs).
+
+Environment constraints honoured (probed in tools/probe_pallas_caps*.py):
+no f16 / 16-bit bitcasts (bf16 pack via full-width f32<->i32 bitcasts,
+geometry.pack16_numw format), no offset-mismatched lane concats (rolls +
+iota selects instead), 16-lane-offset ref stores and dynamic-offset DMA
+are supported.
 
 Reference semantics being reproduced: modules/extractor.py:640-681 reads
-(tsdf, weight) pairs per trilinear corner; this shadow serves those reads
-as packed (bf16 num | bf16 w) lanes.
+(tsdf, weight) pairs per trilinear corner; this shadow serves those
+reads as packed (bf16 num | bf16 w) lanes.
 """
 
 from __future__ import annotations
@@ -36,156 +43,215 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_tq(Q: int, max_tq: int = 32) -> int:
-    for tq in range(min(max_tq, Q), 0, -1):
-        if Q % tq == 0:
-            return tq
+def _pick_ty(Y: int, max_ty: int = 56) -> int:
+    for ty in range(min(max_ty, Y), 0, -1):
+        if Y % ty == 0:
+            return ty
     return 1
 
 
 def _pack16(num, w):
-    """(bf16(num) << 16) | bf16(w) -- same format as geometry.pack16_numw.
+    """(bf16(num) << 16) | bf16(w) -- geometry.pack16_numw in i32 ops.
 
-    Native f32->bf16 converts (RTNE) with only full-width f32<->i32
-    bitcasts: Mosaic on this stack cannot lower f16 or 16-bit bitcasts
-    (probed in tools/probe_pallas_caps.py), but bf16's bit pattern is
-    simply the high half of the widened f32, so no 16-bit type is ever
-    materialised. ~4 ops/element vs ~28 for the earlier integer-RTNE f16
-    pack, which dominated the kernel's VPU time."""
-    nb = jax.lax.bitcast_convert_type(
-        num.astype(jnp.bfloat16).astype(jnp.float32), jnp.int32)
-    wb = jax.lax.bitcast_convert_type(
-        w.astype(jnp.bfloat16).astype(jnp.float32), jnp.int32)
-    hi = nb & jnp.int32(-65536)              # 0xFFFF0000 in signed i32
-    lo = (wb >> 16) & jnp.int32(0xFFFF)      # mask the arith-shift fill
-    return jax.lax.bitcast_convert_type(hi | lo, jnp.uint32)
+    The rounding is done MANUALLY with the classic add-half-to-even bit
+    trick on the f32 words: Mosaic's compiled f32->bf16 convert does not
+    round like XLA's RTNE (measured: systematic +1-ulp differences on
+    ~43% of values, tools/probe_shadow_debug.py), and 16-bit bitcasts
+    don't lower at all. The bit trick is RTNE by construction -- carries
+    propagate into the exponent correctly, f32 subnormals are
+    bf16-aligned, +-0 and inf fall out exactly -- so it is bit-identical
+    to the XLA-side pack16_numw."""
+    nb = jax.lax.bitcast_convert_type(num, jnp.int32)
+    wb = jax.lax.bitcast_convert_type(w, jnp.int32)
+    nr = (nb + (jnp.int32(0x7FFF) + ((nb >> 16) & 1))) & jnp.int32(-65536)
+    wr = ((wb + (jnp.int32(0x7FFF) + ((wb >> 16) & 1))) >> 16) \
+        & jnp.int32(0xFFFF)
+    return jax.lax.bitcast_convert_type(nr | wr, jnp.uint32)
 
 
-def _kernel(c00, c01, c10, c11, s00, s01, s10, s11, out,
-            *, TQ, Q, ZB0, ZB1, NBS):
-    """One (x, q-tile) block: 4 direct copy views + 4 q-shifted views in,
-    (2, 1, TQ*NBS, 256) packed shadow rows out."""
+def _kernel(geo_hbm, out_ref, slab, sem, *, TY, Y, G, GK, NJ, N, interp):
+    def roll(t, s, n):
+        """Value from lane (l - s) % n -- jnp.roll semantics, verified
+        identical between Mosaic's compiled rotate and interpret mode
+        (tools/probe_shadow_debug.py)."""
+        del n
+        return pltpu.roll(t, s, t.ndim - 1)
+
+    x = pl.program_id(0)
     j = pl.program_id(1)
-    q0 = j * TQ
+    i = x * NJ + j
+    SLAB = (TY + 2) * G
 
-    # global-q masks for the shifted views (the shift is a row-offset view
-    # of the flat state; at q==0 / q==Q-1 it reads a neighbouring x's rows
-    # and must contribute zero, exactly like the XLA qshift's zero-pad)
-    qg = q0 + jax.lax.broadcasted_iota(jnp.int32, (TQ, 1, 1), 0)
-    mnext = jnp.where(qg < Q - 1, 1.0, 0.0)     # row q+1 valid
-    mprev = jnp.where(qg > 0, 1.0, 0.0)         # row q-1 valid
+    def dma(idx, s):
+        xx = idx // NJ
+        jj = idx - xx * NJ
+        start = (xx * (Y + 2) + jj * TY) * G
+        return pltpu.make_async_copy(
+            geo_hbm.at[pl.ds(start, SLAB), :], slab.at[s], sem.at[s])
 
-    def view(ref, nblk, mask=None):
-        v = ref[0].reshape(TQ, nblk, 512)
-        return v if mask is None else v * mask
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0).start()
 
-    def comps(v):
-        return [v[:, :, 128 * i:128 * (i + 1)] for i in range(4)]
+    @pl.when(i + 1 < N)
+    def _():
+        dma(i + 1, (i + 1) % 2).start()
 
-    d0 = _zmerge(comps(view(c00, ZB0)), comps(view(c01, ZB1)), TQ, ZB0, ZB1)
-    d1 = _zmerge(comps(view(c10, ZB0)), comps(view(c11, ZB1)), TQ, ZB0, ZB1)
-    # q-shifted d's from the shifted views (shift commutes with zmerge)
-    d0m = _zmerge(comps(view(s00, ZB0, mnext)),
-                  comps(view(s01, ZB1, mnext)), TQ, ZB0, ZB1)  # d0 at q+1
-    d1p = _zmerge(comps(view(s10, ZB0, mprev)),
-                  comps(view(s11, ZB1, mprev)), TQ, ZB0, ZB1)  # d1 at q-1
+    dma(i, i % 2).wait()
+    v_all = slab[i % 2].reshape(TY + 2, G, 128)
 
-    # component order: [numA, numB, wA, wB]. Note pair (cy=0, col B) and
-    # pair (cy=1, col A) are the SAME sums (both are y-column 2q+1 seen
-    # from either parity) -- pack and restride them once.
-    p0a = _blocks64(_pack16(d0[0] + d1p[1], d0[2] + d1p[3]), TQ, ZB0)
-    mid = _blocks64(_pack16(d0[1] + d1[0], d0[3] + d1[2]), TQ, ZB0)
-    p1b = _blocks64(_pack16(d1[1] + d0m[0], d1[3] + d0m[2]), TQ, ZB0)
+    # reconcile for TY+1 physical rows (y0 .. y0+TY): slot row y at slab
+    # index 1+dy, slot row y-1 at dy
+    v = v_all[1:TY + 2]
+    vy = v_all[0:TY + 1]
 
-    out[0, 0] = jnp.concatenate([p0a, mid], axis=-1).reshape(TQ * NBS, 256)
-    out[1, 0] = jnp.concatenate([mid, p1b], axis=-1).reshape(TQ * NBS, 256)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TY + 1, G, 128), 2)
+    lm0 = (lane % 16) == 0
 
+    def prevg(t):
+        return jnp.concatenate(
+            [jnp.zeros((TY + 1, 1, 128), t.dtype), t[:, :-1]], axis=1)
 
-def _lo64(shape):
-    """lane < 64 mask (Mosaic: 64-lane slices carry a lane offset that
-    concats reject, so half-lane ops use roll + this mask instead)."""
-    return jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1) < 64
+    pv, pvy = prevg(v), prevg(vy)
+    # Combined reconcile in one tensor: for a lane l in component c's
+    # positions, t[l] = v[l] (comp c) + v[l+15] (comp c+1 at slot s-1)
+    # + vy[l+32] (comp c+2) + vy[l+47] (comp c+3 at slot s-1); at slot
+    # s == 0 the "s-1" terms carry from the previous group's slot 15:
+    # prevg[l+31] / prevg[l+63]. Only the comp-0 (num) and comp-4 (w)
+    # lane groups of t are ever read, so comp wrap-around garbage in the
+    # upper groups is harmless.
+    # pltpu.roll convention (jnp.roll, shift >= 0): roll(t, s)[l] =
+    # t[(l - s) % n], so a backward shift by k is roll by n - k.
+    t = (v
+         + jnp.where(lm0, roll(pv, 97, 128), roll(v, 113, 128))
+         + roll(vy, 96, 128)
+         + jnp.where(lm0, roll(pvy, 65, 128),
+                     roll(vy, 81, 128)))
+    num = t[:, :, 0:16]                                   # (TY+1, G, 16)
+    w = roll(t, 64, 128)[:, :, 0:16]
+    P = _pack16(num, w)                                   # (TY+1, G, 16)
 
+    # P(z+1): narrow group-local forward shift with group carry
+    s16 = jax.lax.broadcasted_iota(jnp.int32, (TY + 1, G, 16), 2)
+    Pn = jnp.concatenate(
+        [P[:, 1:], jnp.zeros((TY + 1, 1, 16), P.dtype)], axis=1)
+    Pz = jnp.where(s16 == 15, roll(Pn, 15, 16), roll(P, 15, 16))
 
-def _zmerge(s0, s1, TQ, ZB0, ZB1):
-    """Per component: add the cz=1 copy (blocks at z = 128b - 64, stored
-    at b-1) into the cz=0 128-grid. Mirrors rowvol.build_shadow's zmerge
-    on a q-tile: merged lanes [:64] += hi[k-1], lanes [64:] += lo[k]."""
-    from jax.experimental.pallas import tpu as pltpu
-    outs = []
-    for c0, c1 in zip(s0, s1):
-        # r: lanes [0:64] = hi (c1 lanes 64:), lanes [64:128] = lo
-        r = pltpu.roll(c1, 64, c1.ndim - 1)
-        zb = jnp.zeros((TQ, 1, 128), c1.dtype)
-        rshift = jnp.concatenate([zb, r], axis=1)[:, :ZB0]  # r at blk k-1
-        rpad = (jnp.concatenate(
-            [r, jnp.zeros((TQ, ZB0 - ZB1, 128), c1.dtype)], axis=1)
-            if ZB0 > ZB1 else r[:, :ZB0])
-        outs.append(c0 + jnp.where(_lo64(rpad.shape), rshift, rpad))
-    return outs
+    # shadow components: [P, P(z+1), P(y+1), P(y+1, z+1)]
+    comps = (P[:TY], Pz[:TY], P[1:], Pz[1:])
 
-
-def _blocks64(p, TQ, ZB0):
-    """128-grid (TQ, ZB0, 128) -> stride-64 (TQ, 2*ZB0, 128) blocks:
-    even block 2k = grid block k; odd 2k+1 = [k lanes 64: | k+1 lanes :64]."""
-    from jax.experimental.pallas import tpu as pltpu
-    nxt = jnp.concatenate(
-        [p[:, 1:], jnp.zeros((TQ, 1, 128), p.dtype)], axis=1)
-    rp = pltpu.roll(p, 64, 2)      # lanes[:64] = p hi
-    rn = pltpu.roll(nxt, 64, 2)    # lanes[64:] = nxt lo
-    odd = jnp.where(_lo64(rp.shape), rp, rn)
-    return jnp.stack([p, odd], axis=2).reshape(TQ, 2 * ZB0, 128)
+    Gp = 2 * GK
+    for c, Pc in enumerate(comps):
+        if G < Gp:
+            Pc = jnp.concatenate(
+                [Pc, jnp.zeros((TY, Gp - G, 16), Pc.dtype)], axis=1)
+        rg = Pc.reshape(TY, GK, 2, 16)
+        out_ref[0, :, 32 * c:32 * c + 16] = rg[:, :, 0].reshape(
+            TY * GK, 16)
+        out_ref[0, :, 32 * c + 16:32 * c + 32] = rg[:, :, 1].reshape(
+            TY * GK, 16)
 
 
 def build_shadow_pallas(geo: jnp.ndarray, layout, interpret: bool = False,
-                        max_tq: int = 32) -> jnp.ndarray:
+                        max_ty: int = 56) -> jnp.ndarray:
     """Drop-in Pallas replacement for ``rowvol.build_shadow`` (bit-exact:
     same reconcile arithmetic, same f32->bf16 RTNE packing)."""
     L = layout
-    X, Q, ZB0, ZB1, NBS = L.X, L.Q, L.ZB0, L.ZB1, L.NBS
-    TQ = _pick_tq(Q, max_tq)
-    n0, n1 = X * Q * ZB0, X * Q * ZB1
-    offs = {  # copy start rows in the flat state (see rowvol layout)
-        (0, 0): 0,
-        (0, 1): n0,
-        (1, 0): n0 + n1,
-        (1, 1): 2 * n0 + n1,
-    }
-
-    def direct(cy, cz):
-        nblk = ZB1 if cz else ZB0
-        off = offs[(cy, cz)]
-        return geo[off:off + X * Q * nblk].reshape(X, Q * nblk, 512)
-
-    def shifted(cy, cz, dq):
-        """Row view shifted so local row q holds copy row q+dq; the wrap
-        rows at x boundaries are masked in-kernel."""
-        nblk = ZB1 if cz else ZB0
-        off = offs[(cy, cz)] + dq * nblk
-        lo, hi = max(off, 0), min(off + X * Q * nblk, geo.shape[0])
-        v = geo[lo:hi]
-        pads = (lo - off, off + X * Q * nblk - hi)
-        if pads != (0, 0):
-            v = jnp.pad(v, ((pads[0], pads[1]), (0, 0)))
-        return v.reshape(X, Q * nblk, 512)
-
-    inputs = [direct(0, 0), direct(0, 1), direct(1, 0), direct(1, 1),
-              shifted(0, 0, +1), shifted(0, 1, +1),   # d0 at q+1
-              shifted(1, 0, -1), shifted(1, 1, -1)]   # d1 at q-1
-
-    def spec(nblk):
-        return pl.BlockSpec((1, TQ * nblk, 512), lambda x, j: (x, j, 0))
-
+    X, Y, G, GK = L.X, L.Y, L.G, L.GK
+    TY = _pick_ty(Y, max_ty)
+    NJ = Y // TY
     out = pl.pallas_call(
-        functools.partial(_kernel, TQ=TQ, Q=Q, ZB0=ZB0, ZB1=ZB1, NBS=NBS),
-        grid=(X, Q // TQ),
-        in_specs=[spec(ZB0), spec(ZB1), spec(ZB0), spec(ZB1),
-                  spec(ZB0), spec(ZB1), spec(ZB0), spec(ZB1)],
-        out_specs=pl.BlockSpec((2, 1, TQ * NBS, 256),
-                               lambda x, j: (0, x, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((2, X, Q * NBS, 256), jnp.uint32),
+        functools.partial(_kernel, TY=TY, Y=Y, G=G, GK=GK, NJ=NJ,
+                          N=X * NJ, interp=interpret),
+        grid=(X, NJ),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, TY * GK, 128), lambda x, j: (x, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((X, Y * GK, 128), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((2, (TY + 2) * G, 128), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
         interpret=interpret,
-    )(*inputs)
-    return out.reshape(L.shadow_rows, 256)
+    )(geo)
+    return out.reshape(L.shadow_rows, 128)
+
+
+def _reconcile_kernel(geo_hbm, num_ref, w_ref, slab, sem,
+                      *, TY, Y, G, NJ, N):
+    """Slot state -> canonical (num, w) planes. Same reconcile math as
+    the shadow kernel, minus the pack/shadow assembly; outputs are
+    written as per-group 16-lane stores so no narrow-minor-dim tensor is
+    ever materialised in HBM (the XLA formulation's 5-D comp slices pay
+    a 4.6x tile-padding expansion -- 12.5 GB of temps at 448^3, the OOM
+    this kernel exists to avoid)."""
+    def roll(t, s):
+        return pltpu.roll(t, s, t.ndim - 1)
+
+    x = pl.program_id(0)
+    j = pl.program_id(1)
+    i = x * NJ + j
+    SLAB = (TY + 2) * G
+
+    def dma(idx, s):
+        xx = idx // NJ
+        jj = idx - xx * NJ
+        start = (xx * (Y + 2) + jj * TY) * G
+        return pltpu.make_async_copy(
+            geo_hbm.at[pl.ds(start, SLAB), :], slab.at[s], sem.at[s])
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(i + 1 < N)
+    def _():
+        dma(i + 1, (i + 1) % 2).start()
+
+    dma(i, i % 2).wait()
+    v_all = slab[i % 2].reshape(TY + 2, G, 128)
+    v = v_all[1:TY + 1]
+    vy = v_all[0:TY]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TY, G, 128), 2)
+    lm0 = (lane % 16) == 0
+
+    def prevg(t):
+        return jnp.concatenate(
+            [jnp.zeros((TY, 1, 128), t.dtype), t[:, :-1]], axis=1)
+
+    pv, pvy = prevg(v), prevg(vy)
+    t = (v
+         + jnp.where(lm0, roll(pv, 97), roll(v, 113))
+         + roll(vy, 96)
+         + jnp.where(lm0, roll(pvy, 65), roll(vy, 81)))
+    num = t[:, :, 0:16]
+    w = roll(t, 64)[:, :, 0:16]
+    for g in range(G):
+        num_ref[0, :, 16 * g:16 * g + 16] = num[:, g]
+        w_ref[0, :, 16 * g:16 * g + 16] = w[:, g]
+
+
+def reconcile_slot_pallas(geo: jnp.ndarray, layout,
+                          interpret: bool = False, max_ty: int = 56):
+    """Slot geo state -> canonical (num, w) of shape (X, Y, Z); the
+    on-device counterpart of rowvol._reconcile_slot."""
+    L = layout
+    X, Y, G = L.X, L.Y, L.G
+    TY = _pick_ty(Y, max_ty)
+    NJ = Y // TY
+    Zp = 16 * G
+    spec = pl.BlockSpec((1, TY, Zp), lambda x, j: (x, j, 0))
+    num, w = pl.pallas_call(
+        functools.partial(_reconcile_kernel, TY=TY, Y=Y, G=G, NJ=NJ,
+                          N=X * NJ),
+        grid=(X, NJ),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((X, Y, Zp), jnp.float32),
+                   jax.ShapeDtypeStruct((X, Y, Zp), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((2, (TY + 2) * G, 128), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
+        interpret=interpret,
+    )(geo)
+    return num[:, :, :L.Z], w[:, :, :L.Z]

@@ -51,13 +51,44 @@ def test_unpack_roundtrip_is_bf16():
 
 
 @pytest.mark.parametrize("shape", [(24, 20, 160), (16, 17, 300),
-                                   (8, 12, 96)])
+                                   (8, 12, 96), (6, 8, 40)])
 def test_build_shadow_pallas_matches_xla(shape):
+    """Slot-geo state with random mass in ALL components (as after many
+    scatters) -> both shadow builders bit-equal. The (…, 40) shape has
+    odd G (2*GK > G) to cover the pad-group path."""
     L = rowvol.RowLayout.for_shape(shape)
     rng = np.random.RandomState(1)
-    geo = jnp.asarray(
-        rng.randn(L.rows, 512).astype(np.float32) * 0.3)
-    want = jax.jit(rowvol.build_shadow, static_argnums=1)(geo, L)
+    geo = rng.randn(L.geo_rows, 128).astype(np.float32) * 0.3
+    # restrict to REACHABLE states: the scatter masks zero every corner
+    # component that points at an out-of-bounds voxel, and never touches
+    # the pad rows -- random mass there would differ only in dead lanes
+    # the two builders are free to disagree on
+    g5 = geo.reshape(L.X, L.Y + 2, L.G, 8, 16)
+    g5[:, 0] = 0.0                       # pad row y = -1
+    g5[:, L.Y + 1] = 0.0                 # pad row y = Y
+    for c in (2, 3, 6, 7):               # B comps of y_lo = Y-1
+        g5[:, L.Y, :, c] = 0.0
+    gz, sz = (L.Z - 1) // 16, (L.Z - 1) % 16
+    for c in (1, 3, 5, 7):
+        g5[:, :, gz, c, sz] = 0.0        # z+1 comps of z_lo = Z-1
+    g5[:, :, gz, :, sz + 1:] = 0.0              # slots beyond Z-1
+    g5[:, :, gz + 1:] = 0.0
+    geo = jnp.asarray(g5.reshape(L.geo_rows, 128))
+    want = jax.jit(rowvol.build_shadow, static_argnums=(1, 2))(
+        geo, L, "xla")
     got = build_shadow_pallas(geo, L, interpret=True)
     assert got.shape == want.shape
     assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("shape", [(24, 20, 160), (6, 8, 40)])
+def test_reconcile_slot_pallas_matches_xla(shape):
+    from segfusion_tpu.ops.pallas.shadow_build import reconcile_slot_pallas
+    from segfusion_tpu.ops.rowvol import _reconcile_slot
+    L = rowvol.RowLayout.for_shape(shape)
+    rng = np.random.RandomState(2)
+    geo = jnp.asarray(rng.randn(L.geo_rows, 128).astype(np.float32))
+    want_n, want_w = jax.jit(_reconcile_slot, static_argnums=1)(geo, L)
+    got_n, got_w = reconcile_slot_pallas(geo, L, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_n), np.asarray(want_n))
+    np.testing.assert_array_equal(np.asarray(got_w), np.asarray(want_w))
