@@ -255,3 +255,63 @@ def reconcile_slot_pallas(geo: jnp.ndarray, layout,
         interpret=interpret,
     )(geo)
     return num[:, :, :L.Z], w[:, :, :L.Z]
+
+
+# -- vmap support -------------------------------------------------------------
+#
+# pallas_call with manual DMA + scratch does not batch, but both kernels
+# are UNIFORM over the x grid axis: a batch of S scenes is identical to a
+# single volume with X' = S*X (geo rows for scene s, slice x sit exactly
+# where rows for global slice s*X + x would). The custom_vmap rules below
+# therefore just fold the batch axis into x and re-split the outputs --
+# this is what makes the scene-parallel vmapped fuse path (multi-scene
+# streaming, parallel/scene_parallel.py) compose with the kernels.
+
+import functools as _ft
+
+
+def _batched_layout(layout, S):
+    return layout._replace(X=S * layout.X)
+
+
+@_ft.lru_cache(maxsize=None)
+def _shadow_fn(layout):
+    @jax.custom_batching.custom_vmap
+    def f(geo):
+        return build_shadow_pallas(geo, layout)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, geo):
+        Lb = _batched_layout(layout, axis_size)
+        out = build_shadow_pallas(
+            geo.reshape(axis_size * layout.geo_rows, 128), Lb)
+        return out.reshape(axis_size, layout.shadow_rows, 128), True
+
+    return f
+
+
+@_ft.lru_cache(maxsize=None)
+def _reconcile_fn(layout):
+    @jax.custom_batching.custom_vmap
+    def f(geo):
+        return reconcile_slot_pallas(geo, layout)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, geo):
+        Lb = _batched_layout(layout, axis_size)
+        n, w = reconcile_slot_pallas(
+            geo.reshape(axis_size * layout.geo_rows, 128), Lb)
+        shp = (axis_size, layout.X, layout.Y, layout.Z)
+        return (n.reshape(shp), w.reshape(shp)), (True, True)
+
+    return f
+
+
+def build_shadow_pallas_v(geo, layout):
+    """vmappable entry point (see the custom_vmap note above)."""
+    return _shadow_fn(layout)(geo)
+
+
+def reconcile_slot_pallas_v(geo, layout):
+    """vmappable entry point (see the custom_vmap note above)."""
+    return _reconcile_fn(layout)(geo)

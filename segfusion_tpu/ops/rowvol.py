@@ -206,8 +206,8 @@ def volume_from_rows(geo, key, layout: RowLayout,
     if impl is None:
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":
-        from .pallas.shadow_build import reconcile_slot_pallas
-        num, w = reconcile_slot_pallas(geo, layout)
+        from .pallas.shadow_build import reconcile_slot_pallas_v
+        num, w = reconcile_slot_pallas_v(geo, layout)
     else:
         num, w = _reconcile_slot(geo, layout)
     return num, w, _reconcile_key(key, layout)
@@ -233,8 +233,8 @@ def build_shadow(geo, layout: RowLayout, impl: Optional[str] = None
     if impl is None:
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":
-        from .pallas.shadow_build import build_shadow_pallas
-        return build_shadow_pallas(geo, layout)
+        from .pallas.shadow_build import build_shadow_pallas_v
+        return build_shadow_pallas_v(geo, layout)
     L = layout
     num, w = _reconcile_slot(geo, layout)
     zs = 32 * L.GK
