@@ -160,6 +160,64 @@ def bench_headline():
     }))
 
 
+def bench_speed():
+    """Reference speed-model config (configs/fusion/replica_speed.yaml:
+    128x128 depth, FusionNet v3 gf6, use_semantics False, 'efficient'
+    device-resident volumes -- the README's 37 fps headline): same scene
+    scale as the headline bench (448^3 at 1cm), no segmentation net, no
+    semantic volume updates."""
+    import jax
+    import jax.numpy as jnp
+
+    from segfusion_tpu.core.pipeline import Pipeline
+    from segfusion_tpu.core.volume import init_scene_volume
+    from segfusion_tpu.data.synthetic import SyntheticScene
+
+    h = w = 128
+    cfg = build_config(h, w)
+    cfg.DATA.semantics = None
+    cfg.DATA.semantic_strategy = "gt"
+    cfg.FUSION_MODEL.use_semantics = False
+    pipe = Pipeline(cfg)
+    params, stats = pipe.init_fusion_params(jax.random.PRNGKey(0), h, w)
+
+    scene = SyntheticScene(seed=0, half=2.2)
+    vshape = (448, 448, 448)
+    origin = np.array([-2.24, -2.24, -2.24], np.float32)
+    volume = init_scene_volume(vshape, origin, 0.01, cfg.DATA.init_value)
+
+    note("bench: rendering trajectory...")
+    frames = render_frames(scene, h, w, 8)
+    frames = {k: frames[k] for k in
+              ("depth", "extrinsics", "intrinsics", "mask")}
+    note("bench: frames ready")
+
+    n_iters = 64
+    stacked = jax.tree_util.tree_map(
+        lambda x: jnp.concatenate([x] * (n_iters // 8), axis=0), frames)
+    sum_w = jax.jit(lambda v: jnp.sum(v.weights))
+
+    note("bench: compiling fused scan step...")
+    volume = pipe.fuse_sequence((params, stats), volume, stacked, None)
+    float(sum_w(volume))
+    note("bench: warmup done, timing...")
+
+    t0 = time.perf_counter()
+    volume = pipe.fuse_sequence((params, stats), volume, stacked, None)
+    float(sum_w(volume))
+    dt = time.perf_counter() - t0
+    fps = n_iters / dt
+
+    print(json.dumps({
+        "metric": "depth-fusion throughput (speed model), 128x128 depth, "
+                  "FusionNet v3 gf6 no semantics + 448^3 1cm volume, "
+                  "1 TPU chip (reference README: 37 fps on GPU)",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 37.0, 2),
+    }))
+
+
 def bench_multi512():
     """BASELINE.json config #5: high-res 512x512 multi-scene streaming."""
     import jax
@@ -222,11 +280,13 @@ def bench_multi512():
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["headline", "multi512"],
+    ap.add_argument("--mode", choices=["headline", "speed", "multi512"],
                     default="headline")
     args = ap.parse_args()
     if args.mode == "headline":
         bench_headline()
+    elif args.mode == "speed":
+        bench_speed()
     else:
         bench_multi512()
 

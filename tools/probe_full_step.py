@@ -18,23 +18,19 @@ def sync(x):
 
 def timed(label, fn, *args, frames=1, reps=3, donate=None):
     fn_j = jax.jit(fn, donate_argnums=donate) if donate else jax.jit(fn)
+    args = list(args)
     out = fn_j(*args)
     sync(out)
+    if donate:
+        args[donate[0]] = out
     best = 1e30
     for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn_j(*args)
+        sync(out)
+        best = min(best, time.perf_counter() - t0)
         if donate:
-            out = fn_j(*args)
-            t0 = time.perf_counter()
-            out2 = fn_j(*args)
-            sync(out2)
-            best = min(best, time.perf_counter() - t0)
-            del out, out2
-            out = None
-        else:
-            t0 = time.perf_counter()
-            out = fn_j(*args)
-            sync(out)
-            best = min(best, time.perf_counter() - t0)
+            args[donate[0]] = out
     print(f"{label:52s} {best / frames * 1e3:8.2f} ms/frame", flush=True)
     return best / frames
 
@@ -125,7 +121,7 @@ def main():
         return rv
 
     timed("row hot path no nets (32 frames)", row_no_net, rv0, stacked,
-          frames=32, reps=2, donate=(0,))
+          frames=32, reps=2)
 
     # 4b. same but without the semantic scatter-max
     def row_no_net_nosem(rv, frs):
@@ -150,7 +146,7 @@ def main():
         return rv
 
     timed("row hot path no nets, no sem scatter", row_no_net_nosem, rv0,
-          stacked, frames=32, reps=2, donate=(0,))
+          stacked, frames=32, reps=2)
 
     # 5. conversions
     timed("rows_from_volume (one-shot)",
