@@ -352,13 +352,18 @@ def _extract_block(shadow, cr: CornerRows, init_value: float,
     s3 = cr.k_rows.shape                              # (n, p, 2)
     rows = jnp.take(shadow, cr.k_rows.reshape(-1), axis=0)   # (R, 128)
     sl = _flatx(cr.ksl, s3)[:, None]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (rows.shape[0], 128), 1)
-    # ONE slot mask serves all four corner components (they share s)
-    masked = jnp.where((iota % 32) == sl, rows, jnp.uint32(0))
-    qA0 = jnp.sum(masked[:, 0:32], axis=-1)           # (R,) u32 packed
-    qA1 = jnp.sum(masked[:, 32:64], axis=-1)
-    qB0 = jnp.sum(masked[:, 64:96], axis=-1)
-    qB1 = jnp.sum(masked[:, 96:128], axis=-1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (rows.shape[0], 32), 1)
+    hot = iota == sl                  # one slot mask, shared by all comps
+
+    def quarter(lo):
+        # masked one-hot reduce per 32-lane corner component; keeping
+        # the mask inside each reduce lets XLA fuse it instead of
+        # materialising a (R, 128) masked copy of the gathered rows
+        return jnp.sum(jnp.where(hot, rows[:, lo:lo + 32], jnp.uint32(0)),
+                       axis=-1)
+
+    qA0, qA1, qB0, qB1 = (quarter(0), quarter(32), quarter(64),
+                          quarter(96))                # (R,) u32 packed
 
     vx = _flatx(cr.vx, s3)
     dz0 = _flatx(cr.dz0, s3)
