@@ -1,26 +1,41 @@
 #!/usr/bin/env python
 """Benchmark: online joint depth-fusion + semantics throughput.
 
-Default mode (the driver's headline; prints ONE JSON line) measures the
-flagship per-frame pipeline step -- extraction (9-point trilinear ray
-sampling), FusionNet v3 with semantic head (growth_factor 6, the paper's
-accuracy model, reference configs/fusion/replica_accuracy.yaml), TSDF
-scatter integration AND semantic label/score volume integration -- as ONE
-jitted XLA program over a device-resident 1cm-voxel scene volume, on one
-TPU chip, at 256x256 depth over a 448^3 volume.
+The default run measures EVERY recorded mode and prints one JSON line
+per mode -- {"metric", "value", "unit", "vs_baseline"} -- with the
+driver's headline mode LAST (parsers that read the final stdout line get
+the headline; the full set is captured in the artifact tail).
 
-Baseline: the reference runs this config at 10 fps on a CPU+GPU split
-(README.md:6, 256x256 joint fusion+semantics). The driver's north star is
->=37 fps (the reference's 128x128 no-semantics speed-model figure, demanded
-here at 256x256 WITH semantics). vs_baseline = fps / 10.
+Modes:
+  headline  flagship per-frame pipeline step -- extraction (9-point
+            trilinear ray sampling), AdapNet++ stage-2 prediction,
+            FusionNet v3 with semantic head (growth_factor 6, the
+            paper's accuracy model, reference
+            configs/fusion/replica_accuracy.yaml), TSDF scatter
+            integration AND semantic label/score volume integration --
+            as ONE jitted XLA program over a device-resident 1cm-voxel
+            448^3 scene volume, one TPU chip, 256x256 depth. Baseline:
+            the reference runs this config at 10 fps on a CPU+GPU split
+            (README.md:6); north star >= 37. vs_baseline = fps / 10.
+  speed     the reference's 37 fps speed-model config
+            (configs/fusion/replica_speed.yaml): 128x128 depth,
+            FusionNet v3, no semantics, device-resident volumes.
+            vs_baseline = fps / 37.
+  multi512  BASELINE.json config #5: 2 scenes streamed simultaneously at
+            512x512 through the scene-parallel vmapped fuse_sequence
+            (the whole multi-scene stream is ONE dispatch). Aggregate
+            fps; baseline = reference 10 fps ray-scaled to 512^2 = 2.5.
+  train     online-learning throughput (reference train_fusion.py hot
+            loop at the accuracy config): per-frame FusionNet
+            forward+backward + gt-target extraction + volume
+            integration, scanned with summed grad accumulation
+            (train_sequence, row path). The reference has no published
+            training fps; vs_baseline is against its 10 fps ONLINE
+            joint rate as the nominal per-frame budget.
 
-`--mode multi512` (BASELINE.json config #5): 2 scenes streamed
-simultaneously at 512x512 depth through the scene-parallel vmapped
-fuse_sequence -- the whole multi-scene stream is ONE dispatch. Aggregate
-fps across scenes; vs_baseline against the reference's throughput
-ray-scaled to 512^2 (10 fps x (256/512)^2 = 2.5 fps).
-
-Each mode prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Measurement notes: per-call dispatch through the axon relay is 25-50 ms,
+so every mode times one fused multi-frame program; block_until_ready does
+not synchronize here -- a scalar jnp.sum readback forces completion.
 """
 
 import argparse
@@ -106,14 +121,13 @@ def render_frames(scene, h, w, n_frames):
     }
 
 
-def bench_headline():
+def _headline_setup(h=256, w=256):
     import jax
     import jax.numpy as jnp
 
     from segfusion_tpu.core.volume import init_scene_volume
     from segfusion_tpu.data.synthetic import SyntheticScene
 
-    h = w = 256
     cfg = build_config(h, w)
     pipe, params_stats, seg_params = build_pipeline(cfg, h, w)
 
@@ -126,12 +140,18 @@ def bench_headline():
     note("bench: rendering trajectory...")
     frames = render_frames(scene, h, w, 8)
     note("bench: frames ready")
+    return cfg, pipe, params_stats, seg_params, volume, frames
+
+
+def bench_headline():
+    import jax
+    import jax.numpy as jnp
+
+    cfg, pipe, params_stats, seg_params, volume, frames = _headline_setup()
 
     # Stack the rendered trajectory to a (T, ...) frame batch and fuse the
     # whole stream in ONE lax.scan program (single host dispatch; the
-    # volume state never leaves HBM). NOTE: on the tunneled axon backend
-    # block_until_ready does not synchronize; a scalar reduction + 4-byte
-    # readback forces completion of the chain.
+    # volume state never leaves HBM).
     n_iters = 32
     reps = n_iters // 8
     stacked = jax.tree_util.tree_map(
@@ -150,14 +170,14 @@ def bench_headline():
     dt = time.perf_counter() - t0
     fps = n_iters / dt
 
-    print(json.dumps({
+    return {
         "metric": "joint fusion+semantics throughput, 256x256 depth, "
                   "AdapNet++ stage-2 predict + FusionNet v3 gf6 + 448^3 "
                   "1cm volume, 1 TPU chip",
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / 10.0, 2),
-    }))
+    }
 
 
 def bench_speed():
@@ -208,14 +228,14 @@ def bench_speed():
     dt = time.perf_counter() - t0
     fps = n_iters / dt
 
-    print(json.dumps({
+    return {
         "metric": "depth-fusion throughput (speed model), 128x128 depth, "
                   "FusionNet v3 gf6 no semantics + 448^3 1cm volume, "
                   "1 TPU chip (reference README: 37 fps on GPU)",
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / 37.0, 2),
-    }))
+    }
 
 
 def bench_multi512():
@@ -267,7 +287,7 @@ def bench_multi512():
     dt = time.perf_counter() - t0
     fps = n_frames_total / dt
 
-    print(json.dumps({
+    return {
         "metric": "multi-scene joint fusion+semantics, 2 scenes x 512x512 "
                   "depth, AdapNet++ stage-2 + FusionNet v3 gf6 + 320^3 1cm "
                   "volumes, aggregate fps, 1 TPU chip (baseline: reference "
@@ -275,20 +295,107 @@ def bench_multi512():
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / 2.5, 2),
-    }))
+    }
+
+
+def bench_train():
+    """Online-learning throughput: the reference train_fusion.py hot loop
+    (reference train_fusion.py:133-189) at the accuracy config -- gt
+    extraction + FusionNet v3 forward/backward + integration per frame,
+    chunked lax.scan with summed grad accumulation (accumulation_steps=8,
+    reference configs/fusion/replica_accuracy.yaml:48), volume donated.
+    Semantic strategy 'gt' like the reference training configs (the 2D
+    net trains separately)."""
+    import jax
+    import jax.numpy as jnp
+
+    from segfusion_tpu.core.volume import init_scene_volume
+    from segfusion_tpu.data.synthetic import SyntheticScene
+
+    h = w = 256
+    cfg = build_config(h, w)
+    cfg.DATA.semantic_strategy = "gt"
+    pipe, (params, stats), _ = build_pipeline(cfg, h, w)
+    pipe.segmenter = None
+
+    scene = SyntheticScene(seed=0, half=2.2)
+    vshape = (448, 448, 448)
+    origin = np.array([-2.24, -2.24, -2.24], np.float32)
+    volume = init_scene_volume(vshape, origin, 0.01, cfg.DATA.init_value)
+    # gt volume for target extraction: the analytic scene sdf sampled at
+    # the volume's voxel centers, truncated like the dataset loaders
+    ax = (origin[0] + (np.arange(vshape[0], dtype=np.float32) + 0.5)
+          * np.float32(0.01))
+    x, y, z = np.meshgrid(ax, ax, ax, indexing="ij")
+    pts = np.stack([x, y, z], axis=-1)
+    gt = jnp.asarray(np.clip(scene.sdf(pts), -0.1, 0.1).astype(np.float32))
+    del x, y, z, pts
+
+    note("bench: rendering trajectory...")
+    frames = render_frames(scene, h, w, 8)
+    # gt semantic labels for the semantic_frame input channel: any static
+    # uint8 map exercises the same compute (depth-band quantization)
+    sem = jnp.clip(frames["depth"] / 9.0 * 29.0, 0, 29).astype(jnp.uint8)
+    frames["semantic_gt"] = sem
+    note("bench: frames ready")
+
+    accum = 8
+    n_chunks = 3
+    n_iters = accum * n_chunks
+    rngs = jax.random.split(jax.random.PRNGKey(3), accum)
+    resets = jnp.zeros((accum,), bool)
+    sum_w = jax.jit(lambda v: jnp.sum(v.weights))
+
+    note("bench: compiling train_sequence...")
+    loss, grads, volume, stats_w = pipe.train_sequence(
+        params, stats, volume, gt, frames, None, rngs, resets)
+    float(sum_w(volume))
+    note("bench: warmup done, timing...")
+
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        loss, grads, volume, stats_w = pipe.train_sequence(
+            params, stats_w, volume, gt, frames, None, rngs, resets)
+    float(sum_w(volume))
+    float(loss)
+    dt = time.perf_counter() - t0
+    fps = n_iters / dt
+
+    return {
+        "metric": "online fusion TRAINING throughput, 256x256 depth, "
+                  "FusionNet v3 gf6 fwd+bwd + gt-target extraction + "
+                  "448^3 1cm volume integration, grad-accum chunks of 8, "
+                  "1 TPU chip (nominal baseline: reference 10 fps online "
+                  "joint rate; no published reference training fps)",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 10.0, 2),
+    }
+
+
+MODES = {
+    "headline": bench_headline,
+    "speed": bench_speed,
+    "multi512": bench_multi512,
+    "train": bench_train,
+}
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["headline", "speed", "multi512"],
-                    default="headline")
+    ap.add_argument("--mode", choices=list(MODES) + ["all"], default="all")
     args = ap.parse_args()
-    if args.mode == "headline":
-        bench_headline()
-    elif args.mode == "speed":
-        bench_speed()
-    else:
-        bench_multi512()
+    if args.mode != "all":
+        print(json.dumps(MODES[args.mode]()))
+        return
+    # all recorded modes, one JSON line each, HEADLINE LAST (the driver's
+    # single-line parse reads the final line; the rest ride in the tail)
+    for mode in ("speed", "multi512", "train"):
+        try:
+            print(json.dumps(MODES[mode]()), flush=True)
+        except Exception as e:   # a secondary mode must not sink the run
+            note(f"bench: mode {mode} failed: {e!r}")
+    print(json.dumps(bench_headline()), flush=True)
 
 
 if __name__ == "__main__":

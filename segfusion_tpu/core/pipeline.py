@@ -57,14 +57,13 @@ def _prepare_fusion_input(depth, values: geometry.ExtractedValues,
     return inputs
 
 
-def _fused_for_loss(values: geometry.ExtractedValues, tsdf_est,
+def _fused_for_loss(fusion_values, fusion_weights, tsdf_est,
                     init_value: float):
     """Moving-average fusion used as the learning target transform
     (reference modules/pipeline.py:104-116)."""
     n = tsdf_est.shape[-1]
-    tsdf_old = values.fusion_values[None, :, :n]
-    weights = values.fusion_weights[None, :, :n]
-    weights = jnp.maximum(weights, 0.0)
+    tsdf_old = fusion_values[None, :, :n]
+    weights = jnp.maximum(fusion_weights[None, :, :n], 0.0)
     tsdf_new = jnp.clip(tsdf_est, -init_value, init_value)
     return (weights * tsdf_old + tsdf_new) / (weights + 1.0)
 
@@ -84,17 +83,22 @@ class Pipeline:
         self.semantic_strategy = config.DATA.get("semantic_strategy", "gt")
         self.n_classes = int(config.SEMANTIC_2D_MODEL.n_classes) \
             if self.semantics else 0
-        # halve extraction gathers via the packed-f16 shadow (f16 read
-        # precision == the reference's float16 volumes); disable with
-        # SETTINGS.gather_precision: f32
+        # halve extraction gathers via the packed-bf16 shadow
+        # (geometry.pack16_numw; 16-bit read budget == the reference's
+        # float16 volumes); disable with SETTINGS.gather_precision: f32
         self.packed16_gather = config.SETTINGS.get(
             "gather_precision", "f16packed") != "f32"
         # 128-lane-row hot path (ops/rowvol.py): 4x fewer random-access
-        # ops than the flat scalar path, same numerics (f16 gather
+        # ops than the flat scalar path, same numerics (bf16 gather
         # precision, summation-order float tolerance). Disable with
         # SETTINGS.integration: scalar
         self.row_path = config.SETTINGS.get(
             "integration", "rows") != "scalar"
+        # explicit kernel impl for the row-path shadow/reconcile
+        # ("pallas"/"xla"); None = auto by array platform / default
+        # backend (rowvol._impl_for). Set when jitting for a non-default
+        # backend.
+        self.rows_impl = config.SETTINGS.get("rows_impl", None)
 
         self.fusion_net = build_fusion_net(config.FUSION_MODEL)
         # segmenter: optional object with .apply_fn(params, image, depth)
@@ -256,21 +260,20 @@ class Pipeline:
                               init_value=volume.init_value)
         return layout, rv
 
-    @staticmethod
-    def _volume_from_rows(rv: rowvol.RowVolume, layout) -> SceneVolume:
-        num, w, key = rowvol.volume_from_rows(rv.geo, rv.key, layout)
+    def _volume_from_rows(self, rv: rowvol.RowVolume, layout) -> SceneVolume:
+        num, w, key = rowvol.volume_from_rows(rv.geo, rv.key, layout,
+                                              impl=self.rows_impl)
         return SceneVolume(num=num, weights=w, semkey=key,
                            origin=rv.origin, resolution=rv.resolution,
                            init_value=rv.init_value)
 
-    def step_fuse_rows_impl(self, params_and_stats, layout,
-                            rv: rowvol.RowVolume, frame, seg_params
-                            ) -> rowvol.RowVolume:
-        """Inference step over the row-layout state: 2 row gathers + 1
-        512-lane scatter-add + 1 256-lane scatter-max per (ray, sample)
-        replace the flat path's 8/16/8 scalar random accesses. Same
-        pipeline semantics as :meth:`step_fuse_impl`."""
-        params, batch_stats = params_and_stats
+    def _row_frontend(self, layout, rv: rowvol.RowVolume, frame,
+                      seg_params, stop_sem_grad: bool = False):
+        """Shared row-path front end: semantic prediction, ray sampling,
+        shadow build + extraction, fusion-net input packing. Everything
+        here is constant w.r.t. the fusion params (extraction feeds the
+        net and the loss as data), so the training step keeps it outside
+        the autodiff trace."""
         depth = frame["depth"]
         filtered = jnp.where(frame["mask"], depth, 0.0)
 
@@ -278,6 +281,9 @@ class Pipeline:
             if self.semantic_strategy == "predict":
                 sem_ids, scores = self._predict_semantics(
                     seg_params, frame["image"], frame["depth_input"])
+                if stop_sem_grad:
+                    sem_ids = jax.lax.stop_gradient(sem_ids)
+                    scores = jax.lax.stop_gradient(scores)
             else:
                 sem_ids = frame["semantic_gt"].reshape(-1).astype(jnp.uint8)
                 scores = jnp.ones_like(sem_ids, jnp.float32)
@@ -290,7 +296,7 @@ class Pipeline:
         points_v, _ = geometry.sample_ray_points(
             points_w, eye_w, rv.origin, rv.resolution, self.n_points)
         cr = rowvol.corner_rows(points_v, layout)
-        shadow = rowvol.build_shadow(rv.geo, layout)
+        shadow = rowvol.build_shadow(rv.geo, layout, impl=self.rows_impl)
         fv, fw = rowvol.extract_rows(shadow, cr, self.init_value,
                                      geometry.INVALID_TSDF_FILL)
 
@@ -304,6 +310,18 @@ class Pipeline:
             sem = (1.0 + sem_ids.reshape(depth.shape).astype(jnp.float32)
                    ) / self.n_classes
             inputs["semantic_frame"] = sem.reshape(1, h, w, 1)
+        return cr, fv, fw, inputs, sem_ids, scores, filtered
+
+    def step_fuse_rows_impl(self, params_and_stats, layout,
+                            rv: rowvol.RowVolume, frame, seg_params
+                            ) -> rowvol.RowVolume:
+        """Inference step over the row-layout state: 2 row gathers + 1
+        512-lane scatter-add + 1 256-lane scatter-max per (ray, sample)
+        replace the flat path's 8/16/8 scalar random accesses. Same
+        pipeline semantics as :meth:`step_fuse_impl`."""
+        params, batch_stats = params_and_stats
+        cr, _, _, inputs, sem_ids, scores, filtered = self._row_frontend(
+            layout, rv, frame, seg_params)
         tsdf_est, _ = self._network_estimate(params, batch_stats, inputs,
                                              train=False, rng=None)
 
@@ -316,6 +334,56 @@ class Pipeline:
         new_geo, new_key = rowvol.integrate_rows(
             rv.geo, rv.key, cr, upd_values, sem_key, ray_mask, t)
         return rv._replace(geo=new_geo, key=new_key)
+
+    def step_train_rows_impl(self, params, batch_stats, layout,
+                             rv: rowvol.RowVolume, gt_shadow, frame,
+                             seg_params, rng):
+        """Training step over the row-layout state -- the slot-layout
+        port of :meth:`step_train_impl` (reference Pipeline.fuse_training,
+        modules/pipeline.py:251-363). The gt target extraction reads a
+        pre-packed CONSTANT gt shadow (rowvol.shadow_from_canonical with
+        w = 1, built once per chunk), so the per-frame cost is one extra
+        128-lane gather per (ray, sample, x-corner). Gradients flow only
+        through the FusionNet forward: extraction/shadow (incl. the
+        Pallas kernel) stay outside the autodiff trace, and the volume
+        update integrates stop_gradient'ed estimates (truncated BPTT
+        length 1, reference modules/pipeline.py:360-361)."""
+        cr, fv, fw, inputs, _, _, filtered = self._row_frontend(
+            layout, rv, frame, seg_params, stop_sem_grad=True)
+        # gt fusion_values: the shadow packs (bf16(gt) | bf16(1.0)), so
+        # extract_rows returns bf16-rounded gt values -- the documented
+        # 16-bit gather precision of the row path (vs the flat path's f32
+        # gt reads; bf16 keeps sign(gt) exact for the cosine loss term).
+        gv, _ = rowvol.extract_rows(gt_shadow, cr, self.init_value,
+                                    geometry.INVALID_TSDF_FILL)
+        ray_mask = filtered.reshape(-1) != 0.0
+
+        from ..utils.losses import fusion_loss
+        loss_cfg = self.config.TRAINING.loss
+
+        def loss_fn(p):
+            tsdf_est, new_stats = self._network_estimate(
+                p, batch_stats, inputs, train=True, rng=rng)
+            tsdf_fused = _fused_for_loss(fv, fw, tsdf_est, self.init_value)
+            tsdf_target = gv[None, :, : self.n_points]
+            loss = fusion_loss(tsdf_fused, tsdf_target, ray_mask[None],
+                               w_l1=float(loss_cfg.w_l1),
+                               w_l2=float(loss_cfg.w_l2),
+                               w_cos=float(loss_cfg.w_cos))
+            return loss, (tsdf_est, new_stats)
+
+        (loss, (tsdf_est, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+
+        tsdf_est = jax.lax.stop_gradient(tsdf_est)
+        t = self.n_tail_points
+        upd_values = jnp.clip(tsdf_est[0, :, :t], -self.init_value,
+                              self.init_value)
+        # semantics not updated during training (reference test=False,
+        # modules/pipeline.py:350-357)
+        new_geo, new_key = rowvol.integrate_rows(
+            rv.geo, rv.key, cr, upd_values, None, ray_mask, t)
+        return loss, grads, rv._replace(geo=new_geo, key=new_key), new_stats
 
     def step_train_impl(self, params, batch_stats, volume: SceneVolume,
                         gt_tsdf, frame, seg_params, rng
@@ -356,7 +424,9 @@ class Pipeline:
         def loss_fn(p):
             tsdf_est, new_stats = self._network_estimate(
                 p, batch_stats, inputs, train=True, rng=rng)
-            tsdf_fused = _fused_for_loss(values, tsdf_est, self.init_value)
+            tsdf_fused = _fused_for_loss(values.fusion_values,
+                                         values.fusion_weights, tsdf_est,
+                                         self.init_value)
             tsdf_target = values_gt.fusion_values[None, :, : self.n_points]
             loss = fusion_loss(tsdf_fused, tsdf_target, ray_mask[None],
                                w_l1=float(loss_cfg.w_l1),
@@ -428,24 +498,40 @@ class Pipeline:
     # -- host-facing API (reference signatures) ---------------------------------
 
     @staticmethod
-    def _frame_from_batch(batch, input_key: str):
-        """Host batch dict (leading batch dim 1) -> device frame dict."""
+    def _frame_from_batch(batch, input_key: str, xp=jnp):
+        """Host batch dict (leading batch dim 1) -> frame dict.
+
+        ``xp=jnp`` (default) produces device arrays for immediate single-
+        frame use; ``xp=np`` keeps the frame on the host -- the chunked
+        streaming paths buffer HOST frames and ship each chunk as ONE
+        stacked transfer per field (per-array device_put through the
+        relay costs 25-50 ms dispatch each; see fuse_many)."""
         def squeeze(x):
-            x = jnp.asarray(x)
+            x = xp.asarray(x)
             return x[0] if x.ndim and x.shape[0] == 1 else x
 
+        f32 = xp.float32
         frame = {
-            "depth": squeeze(batch[input_key]).astype(jnp.float32),
-            "extrinsics": squeeze(batch["extrinsics"]).astype(jnp.float32),
-            "intrinsics": squeeze(batch["intrinsics"]).astype(jnp.float32),
+            "depth": squeeze(batch[input_key]).astype(f32),
+            "extrinsics": squeeze(batch["extrinsics"]).astype(f32),
+            "intrinsics": squeeze(batch["intrinsics"]).astype(f32),
             "mask": squeeze(batch["mask"]),
         }
         if "image" in batch:
-            frame["image"] = squeeze(batch["image"]).astype(jnp.float32)
+            frame["image"] = squeeze(batch["image"]).astype(f32)
             frame["depth_input"] = frame["depth"]
         if "semantic_gt" in batch:
             frame["semantic_gt"] = squeeze(batch["semantic_gt"])
         return frame
+
+    @staticmethod
+    def _stack_host_frames(frames):
+        """Stack a list of HOST frame dicts to one (T, ...) device batch:
+        one np.stack + jnp.asarray per field (a single async H2D transfer
+        each, issued while earlier device work is still running)."""
+        import numpy as np
+        return {k: jnp.asarray(np.stack([f[k] for f in frames]))
+                for k in frames[0]}
 
     def train_sequence_impl(self, params, batch_stats, volume: SceneVolume,
                             gt_tsdf, frames, seg_params, rngs, reset_flags):
@@ -457,8 +543,39 @@ class Pipeline:
         apply via lax.cond on host-provided flags.
 
         Returns (loss_sum, grad_sum, new_volume, new_batch_stats).
+
+        On the row path the scan carries the slot state (one
+        canonical<->row conversion per chunk) and the gt target volume is
+        pre-packed once into a constant shadow -- the same per-frame
+        row-op costs as inference plus the net backward.
         """
         grad_zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+        if self.row_path:
+            layout, rv = self._rows_from_volume(volume)
+            gt_shadow = rowvol.shadow_from_canonical(
+                gt_tsdf.astype(jnp.float32),
+                jnp.ones_like(gt_tsdf, jnp.float32), layout)
+
+            def row_body(carry, inp):
+                rv, stats, grad_acc, loss_acc = carry
+                frame, rng, reset = inp
+                rv = jax.lax.cond(
+                    reset,
+                    lambda r: r._replace(geo=jnp.zeros_like(r.geo),
+                                         key=jnp.zeros_like(r.key)),
+                    lambda r: r, rv)
+                loss, grads, rv, stats = self.step_train_rows_impl(
+                    params, stats, layout, rv, gt_shadow, frame,
+                    seg_params, rng)
+                grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
+                return (rv, stats, grad_acc, loss_acc + loss), None
+
+            (rv, stats, grad_sum, loss_sum), _ = jax.lax.scan(
+                row_body, (rv, batch_stats, grad_zero, jnp.float32(0.0)),
+                (frames, rngs, reset_flags))
+            return loss_sum, grad_sum, self._volume_from_rows(rv, layout), \
+                stats
 
         def body(carry, inp):
             volume, stats, grad_acc, loss_acc = carry
@@ -492,7 +609,15 @@ class Pipeline:
         would otherwise collapse chunks to length ~1 (PERFORMANCE.md's
         per-frame dispatch failure mode). Within a scene arrival order is
         preserved, so the result is bit-identical to per-frame
-        :meth:`fuse` calls."""
+        :meth:`fuse` calls.
+
+        Host IO overlaps the device scan: frames are buffered as HOST
+        numpy arrays and each chunk ships as one stacked async H2D
+        transfer per field immediately followed by the (async) scan
+        dispatch -- the loop returns to decoding the next frames while
+        the device is still fusing the previous chunk (nothing blocks
+        until a result is read back)."""
+        import numpy as np
         pending: Dict[str, list] = {}
 
         def flush(scene_id: str):
@@ -502,22 +627,21 @@ class Pipeline:
             n = len(frames)
             if n < chunk:  # pad with no-op frames (mask all False)
                 pad = dict(frames[-1])
-                pad["mask"] = jnp.zeros_like(frames[-1]["mask"])
+                pad["mask"] = np.zeros_like(frames[-1]["mask"])
                 frames = frames + [pad] * (chunk - n)
-            stacked = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs), *frames)
+            stacked = self._stack_host_frames(frames)
             volume = database.volumes[scene_id]
             new_volume = self.fuse_sequence((params, batch_stats), volume,
                                             stacked, seg_params)
             database.update(scene_id, new_volume)
 
         for batch in batches:
-            import numpy as _np
-            if not _np.all(_np.isfinite(_np.asarray(batch["extrinsics"]))):
+            if not np.all(np.isfinite(np.asarray(batch["extrinsics"]))):
                 continue
             scene_id = self._scene_of(batch)
             pending.setdefault(scene_id, []).append(
-                self._frame_from_batch(batch, self.config.DATA.input))
+                self._frame_from_batch(batch, self.config.DATA.input,
+                                       xp=np))
             if len(pending[scene_id]) == chunk:
                 flush(scene_id)
         for scene_id in list(pending):

@@ -291,7 +291,13 @@ def pack16_numw(num: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     reference stores its volumes in float16 (modules/database.py:60-76);
     we keep the same 16-bit read budget with a TPU-native type. bf16 is
     also the only 16-bit float Mosaic can convert in a Pallas kernel here
-    (ops/pallas/shadow_build.py builds this exact format on-chip)."""
+    (ops/pallas/shadow_build.py builds this exact format on-chip).
+
+    PRECONDITION: finite inputs. The add-half bit trick has no NaN guard
+    -- a NaN mantissa pattern can carry into the exponent and pack as Inf
+    (or, for the all-ones mantissa, wrap to a non-NaN pattern) -- unlike
+    a true bf16 convert. Fine for the finite tsdf/weight accumulators fed
+    today; do not pack possibly-NaN data."""
     # RTNE at bit 16 via the classic add-half-to-even INTEGER trick, not
     # astype(bfloat16): under --xla_allow_excess_precision (set by this
     # environment's TPU compiler) XLA elides the bf16 down-up round-trip
@@ -397,8 +403,8 @@ def extract_numw(depth: jnp.ndarray, extrinsics: jnp.ndarray,
                  n_points: int = 9, packed16: bool = False
                  ) -> ExtractedValues:
     """:func:`extract` over the accumulator scene state. ``packed16`` halves
-    the gather count via the u32-packed f16 shadow (see
-    trilinear_gather_packed16)."""
+    the gather count via the u32-packed bf16 shadow (pack16_numw format;
+    see trilinear_gather_packed16)."""
     h, w = depth.shape
     points_w = unproject(depth, extrinsics, intrinsics)
     eye_w = extrinsics[:3, 3].astype(jnp.float32)

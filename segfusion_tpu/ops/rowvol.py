@@ -37,6 +37,13 @@ one row by construction.
 
 All shapes static; invalid corners/rays are zero-weight (or zero-key)
 lanes, exactly like the flat path (ops/integrate.py).
+
+WRITER INVARIANT: pad rows (geo y = -1 / y = Y) and out-of-bounds corner
+components (e.g. comp B* of a slot at y = Y - 1, z-offset-1 comps of slot
+z = Z - 1 in the last group) must stay ZERO (geo) / key 0. rows_from_volume
+establishes this; integrate_rows preserves it (invalid corners are
+weight-0/key-0 by masking); the Pallas/XLA shadow bit-equality relies on
+it (tests/test_shadow_pallas.py masks exactly these dead lanes).
 """
 
 from __future__ import annotations
@@ -47,19 +54,37 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["RowLayout", "RowVolume", "rows_from_volume", "volume_from_rows",
-           "build_shadow", "corner_rows", "extract_rows", "integrate_rows"]
+           "build_shadow", "shadow_from_canonical", "corner_rows",
+           "extract_rows", "integrate_rows"]
 
 # transient-memory targets for the chunked per-frame passes (rays/chunk).
 # Chunking the integrate is EXPENSIVE: every extra scatter-op pair costs a
 # full pass over the multi-GB state (~10 ms/chunk at 448^3, measured in
-# tools/probe_integrate_unroll.py), so the chunk target keeps frames up to
-# 512^2 UNCHUNKED -- slot updates are (M, 128), only ~1.9 GB even there.
+# tools/probe_slot_scatter.py / probe_slot_stages.py), so the chunk target
+# keeps frames up to 512^2 UNCHUNKED -- slot updates are (M, 128), only
+# ~1.9 GB even there.
 _EXTRACT_CHUNK = 8192     # gather temp ~ chunk*p*2*128*4B (~75 MB at p=9)
 _INTEGRATE_CHUNK = 262144  # update temp ~ chunk*t*2*256*4B (~3.8 GB at t=7)
 
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
+
+
+def _impl_for(arr) -> str:
+    """Pick the kernel impl for ``arr``: the array's actual platform when
+    it is concrete (CPU-placed arrays under a TPU default backend must
+    NOT take the Mosaic kernel), the default backend for tracers (inside
+    jit there is no device info until lowering -- callers that jit for a
+    non-default backend should pass ``impl`` explicitly, e.g. via the
+    pipeline's SETTINGS.rows_impl)."""
+    try:
+        platforms = {d.platform for d in arr.devices()}
+        if len(platforms) == 1:
+            return "pallas" if platforms.pop() == "tpu" else "xla"
+    except Exception:
+        pass
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
 def _nchunks(n: int, target: int) -> int:
@@ -204,7 +229,7 @@ def volume_from_rows(geo, key, layout: RowLayout,
     formulation's narrow comp slices pay a 4.6x tile-padding expansion
     (12.5 GB of temps at 448^3)."""
     if impl is None:
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        impl = _impl_for(geo)
     if impl == "pallas":
         from .pallas.shadow_build import reconcile_slot_pallas_v
         num, w = reconcile_slot_pallas_v(geo, layout)
@@ -228,15 +253,24 @@ def build_shadow(geo, layout: RowLayout, impl: Optional[str] = None
 
     ``impl``: "pallas" (one-pass halo-DMA VMEM kernel) or "xla"
     (reconcile + pack + 4 shifted stacks; reference implementation and
-    CPU-test path), or None = pallas on TPU, xla elsewhere. Both are
-    bit-exact to each other (tests/test_shadow_pallas.py)."""
+    CPU-test path), or None = the geo array's platform / default backend
+    (see _impl_for). Both are bit-exact to each other
+    (tests/test_shadow_pallas.py)."""
     if impl is None:
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        impl = _impl_for(geo)
     if impl == "pallas":
         from .pallas.shadow_build import build_shadow_pallas_v
         return build_shadow_pallas_v(geo, layout)
-    L = layout
     num, w = _reconcile_slot(geo, layout)
+    return shadow_from_canonical(num, w, layout)
+
+
+def shadow_from_canonical(num, w, layout: RowLayout) -> jnp.ndarray:
+    """Pack canonical (X, Y, Z) (num, w) planes into the 4-component slot
+    shadow (the tail of the XLA ``build_shadow``; also used to pre-pack
+    CONSTANT volumes -- e.g. the gt tsdf with w = 1 for the training
+    target extraction, where it runs once per chunk)."""
+    L = layout
     zs = 32 * L.GK
     P = jnp.pad(_pack16(num, w), ((0, 0), (0, 0), (0, zs - L.Z)))
 
@@ -528,7 +562,7 @@ def integrate_rows(geo, key, cr: CornerRows, values, sem_key, ray_mask,
 
     # UNROLLED python loop, not lax.scan: a while-loop carry of the
     # multi-GB (geo, key) state forces XLA to copy the carry every chunk
-    # iteration (~10 ms/GB/iter, tools/probe_integrate_unroll.py).
+    # iteration (~10 ms/GB/iter, tools/probe_slot_scatter.py).
     # Unrolled, each scatter aliases its input buffer in place.
     for i in range(kch):
         bc = jax.tree_util.tree_map(lambda a: a[i], blkk)

@@ -70,6 +70,57 @@ def test_watertight_fusion_roundtrip():
     assert (counts == 2).mean() > 0.99
 
 
+def thin_box_mesh(half=0.3, thickness=0.02):
+    """Closed axis-aligned box, very thin along z (a wall/plate)."""
+    hx, hy, hz = half, half, thickness / 2
+    v = np.array([[sx * hx, sy * hy, sz * hz]
+                  for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+                 np.float32)
+    f = np.array([[0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+                  [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+                  [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]], np.int32)
+    return v, f
+
+
+def test_erode_depth_min_filter_and_zero_handling():
+    from fuse import erode_depth
+    d = np.zeros((5, 5), np.float32)
+    d[2, 2] = 2.0
+    d[2, 3] = 1.0
+    e = erode_depth(d)
+    # valid pixels take the 3x3 min over valid neighbours
+    assert e[2, 2] == 1.0
+    # background adjacent to valid pixels gets dilated silhouette values
+    assert e[1, 2] == 1.0 and e[3, 3] == 1.0
+    # background far from any valid pixel stays background
+    assert e[0, 0] == 0.0
+
+
+def test_thin_structure_survives_fusion():
+    """A plate ~1.3 voxels thick must fuse to a closed occupied slab --
+    the reference's depth-offset + grey-erosion thickening
+    (2_fusion.py:176-185). With the offset sign flipped (depth pushed
+    AWAY from the camera) or without erosion the plate erodes away."""
+    from fuse import fuse_mesh
+    grid_res = 64
+    voxel = 1.0 / grid_res
+    verts, faces = thin_box_mesh(half=0.3, thickness=1.3 * voxel)
+    tsdf, weights, origin, voxel_out = fuse_mesh(
+        verts, faces, n_views=24, grid_res=grid_res, image_size=128)
+    # interior voxels of the plate (|z| < thickness/2, |x|,|y| < 0.25)
+    xs = origin[0] + (np.arange(grid_res) + 0.5) * voxel_out
+    X, Y, Z = np.meshgrid(xs, xs, xs, indexing="ij")
+    inside = (np.abs(X) < 0.22) & (np.abs(Y) < 0.22) \
+        & (np.abs(Z) < 0.9 * voxel)
+    occ = (tsdf[inside] < 0).mean()
+    assert occ > 0.9, f"thin plate eroded away: occupancy {occ:.3f}"
+    # and the plate is not absurdly thickened (clearly free by ~8 voxels
+    # out; mild negative bias closer in is inherent to the technique)
+    thick = (np.abs(X) < 0.22) & (np.abs(Y) < 0.22) \
+        & (np.abs(Z) > 8.0 * voxel) & (np.abs(Z) < 12 * voxel)
+    assert (tsdf[thick] < 0).mean() < 0.1
+
+
 def test_simplify_reduces_vertices():
     from simplify import simplify
     verts, faces = unit_sphere_mesh(r=0.4, n=48)

@@ -45,16 +45,70 @@ def test_train_sequence_matches_loop():
     loss2, grads2, vol2, stats2 = pipe.train_sequence(
         params, stats0, db.volumes[s], gt, stacked, None, rngs, resets)
 
-    assert np.isclose(float(loss2), loss_sum, atol=1e-4)
-    # scan vs unrolled compilation reassociates float reductions; grads
-    # agree to ~1e-3 absolute after 3 chained frames
+    # train_sequence runs the ROW path (slot-layout state + bf16-packed
+    # gt target shadow) while the per-frame loop above is the flat scalar
+    # path with f32 gt reads: the bf16 gt rounding (~2e-4 absolute on a
+    # +-0.1 target) bounds the loss/grad agreement (measured: ~1.1e-3 /
+    # ~1.9e-3 after 3 chained frames); the integrated volumes agree to
+    # float-summation tolerance.
+    assert np.isclose(float(loss2), loss_sum, atol=5e-3)
     for a, b in zip(jax.tree_util.tree_leaves(grads2),
                     jax.tree_util.tree_leaves(grad_sum)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
     np.testing.assert_allclose(np.asarray(vol2.weights),
                                np.asarray(vol.weights), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(vol2.num),
+                               np.asarray(vol.num), atol=1e-4)
     for a, b in zip(jax.tree_util.tree_leaves(stats2),
                     jax.tree_util.tree_leaves(stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+@pytest.mark.slow
+def test_train_sequence_row_matches_scalar_path():
+    """Row-layout training (step_train_rows_impl) vs the scalar-path
+    train_sequence on identical inputs -- the slot machinery must only
+    change numerics within the documented 16-bit gather/target
+    precision."""
+    cfg = small_config()
+    data = Synthetic(cfg.DATA)
+    db = Database(data, cfg.DATA)
+    k = 3
+    pipe_rows = Pipeline(cfg)
+    assert pipe_rows.row_path
+    import copy
+    cfg_s = copy.deepcopy(cfg)
+    cfg_s.SETTINGS.integration = "scalar"
+    pipe_scalar = Pipeline(cfg_s)
+
+    params, stats0 = pipe_rows.init_fusion_params(jax.random.PRNGKey(0),
+                                                  48, 48)
+    s = data.scenes[0]
+    frames = [pipe_rows._frame_from_batch(_batch(data, i), cfg.DATA.input)
+              for i in range(k)]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *frames)
+    rngs = jax.random.split(jax.random.PRNGKey(7), k)
+    resets = jnp.asarray([False, True, False])   # mid-chunk reset too
+
+    db.reset()
+    la, ga, va, sa = pipe_rows.train_sequence(
+        params, stats0, db.volumes[s], db.scenes_gt[s], stacked, None,
+        rngs, resets)
+    db.reset()
+    lb, gb, vb, sb = pipe_scalar.train_sequence(
+        params, stats0, db.volumes[s], db.scenes_gt[s], stacked, None,
+        rngs, resets)
+
+    assert np.isclose(float(la), float(lb), atol=5e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(ga),
+                    jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(va.num), np.asarray(vb.num),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(va.weights),
+                               np.asarray(vb.weights), atol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(sa),
+                    jax.tree_util.tree_leaves(sb)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 

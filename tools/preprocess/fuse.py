@@ -28,6 +28,25 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 from segfusion_tpu.native.rasterize import rasterize_depth  # noqa: E402
 
 
+def erode_depth(d):
+    """3x3 grey erosion (separable min filter) over VALID depth pixels.
+
+    The reference erodes the rendered depth map with
+    ``grey_erosion(depth, size=(3, 3))`` (2_fusion.py:176-185) to thicken
+    thin structures; there the background is zfar (large), so the erosion
+    dilates object silhouettes by one pixel. Our rasterizer marks misses
+    with 0, so zeros are lifted to +inf for the min and restored after.
+    """
+    di = np.where(d > 0, d, np.inf)
+    e = np.minimum(di, np.minimum(np.roll(di, 1, 0), np.roll(di, -1, 0)))
+    e[0] = di[0] if e.shape[0] == 1 else np.minimum(di[0], di[1])
+    e[-1] = np.minimum(di[-1], di[-2])
+    e2 = np.minimum(e, np.minimum(np.roll(e, 1, 1), np.roll(e, -1, 1)))
+    e2[:, 0] = np.minimum(e[:, 0], e[:, 1])
+    e2[:, -1] = np.minimum(e[:, -1], e[:, -2])
+    return np.where(np.isfinite(e2), e2, 0.0).astype(d.dtype)
+
+
 def fuse_mesh(verts, faces, n_views=100, grid_res=256, image_size=640,
               truncation_factor=10.0, depth_offset=1.5):
     import jax.numpy as jnp
@@ -45,9 +64,13 @@ def fuse_mesh(verts, faces, n_views=100, grid_res=256, image_size=640,
         view = look_at_view(eye)
         d = rasterize_depth(verts, faces, view, k, image_size, image_size,
                             znear=0.2, zfar=3.0)
-        # push depth back by a fraction of a voxel so thin structures close
-        # (the reference's depth offset, 2_fusion.py:176-185)
-        d = np.where(d > 0, d + depth_offset * voxel, 0.0)
+        # enlarge the object slightly: pull depth TOWARD the camera (the
+        # reference SUBTRACTS the offset, 2_fusion.py:176-181 -- with the
+        # free-space-positive sdf convention a smaller depth grows the
+        # object), then 3x3 grey-erode to thicken thin structures
+        # (2_fusion.py:182).
+        d = np.where(d > 0, np.maximum(d - depth_offset * voxel, 1e-6), 0.0)
+        d = erode_depth(d)
         depths.append(d)
         projs.append((k @ view[:3, :4]).astype(np.float32))
 
