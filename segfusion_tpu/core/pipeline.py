@@ -267,6 +267,27 @@ class Pipeline:
                            origin=rv.origin, resolution=rv.resolution,
                            init_value=rv.init_value)
 
+    # jitted host-level conversions for row-state carrying (fuse_many):
+    # the slot state is bit-exactly equivalent to the canonical state
+    # under further integration (reconcile is linear; adding the comp-0
+    # repack's zeros is IEEE-exact), so chunks can chain on the row form
+    # and materialise only when the database is read.
+    def _enter_rows_impl(self, layout, volume: SceneVolume):
+        geo, key = rowvol.rows_from_volume(volume.num, volume.weights,
+                                           volume.semkey, layout)
+        return rowvol.RowVolume(geo=geo, key=key, origin=volume.origin,
+                                resolution=volume.resolution,
+                                init_value=volume.init_value)
+
+    _enter_rows = functools.partial(jax.jit, static_argnums=(0, 1),
+                                    donate_argnums=(2,))(_enter_rows_impl)
+
+    def _exit_rows_impl(self, layout, rv: rowvol.RowVolume) -> SceneVolume:
+        return self._volume_from_rows(rv, layout)
+
+    _exit_rows = functools.partial(jax.jit, static_argnums=(0, 1),
+                                   donate_argnums=(2,))(_exit_rows_impl)
+
     def _row_frontend(self, layout, rv: rowvol.RowVolume, frame,
                       seg_params, stop_sem_grad: bool = False):
         """Shared row-path front end: semantic prediction, ray sampling,
@@ -495,6 +516,27 @@ class Pipeline:
     fuse_sequence = functools.partial(jax.jit, static_argnums=(0,),
                                       donate_argnums=(2,))(fuse_sequence_impl)
 
+    def fuse_sequence_rows_impl(self, layout, params_and_stats,
+                                rv: rowvol.RowVolume, frames,
+                                seg_params) -> rowvol.RowVolume:
+        """Row-state-to-row-state sequence fusion: like
+        :meth:`fuse_sequence` but the canonical<->slot conversions stay
+        OUTSIDE -- callers that stream many chunks (fuse_many, benches)
+        carry the RowVolume across chunk boundaries and materialise a
+        SceneVolume only when the database is actually read (the entry
+        scatter + exit reconciles cost ~130 ms per boundary at 448^3,
+        tools/profile_trace.py)."""
+        def row_body(rv, frame):
+            return self.step_fuse_rows_impl(
+                params_and_stats, layout, rv, frame, seg_params), None
+
+        rv, _ = jax.lax.scan(row_body, rv, frames)
+        return rv
+
+    fuse_sequence_rows = functools.partial(
+        jax.jit, static_argnums=(0, 1),
+        donate_argnums=(3,))(fuse_sequence_rows_impl)
+
     # -- host-facing API (reference signatures) ---------------------------------
 
     @staticmethod
@@ -616,9 +658,16 @@ class Pipeline:
         transfer per field immediately followed by the (async) scan
         dispatch -- the loop returns to decoding the next frames while
         the device is still fusing the previous chunk (nothing blocks
-        until a result is read back)."""
+        until a result is read back).
+
+        On the row path the per-scene state is carried ACROSS chunks in
+        slot form (fuse_sequence_rows) and materialised back into the
+        database once at the end -- the canonical<->slot conversions
+        (~130 ms per boundary at 448^3) are paid once per scene instead
+        of once per chunk. Bit-identical to per-frame :meth:`fuse`."""
         import numpy as np
         pending: Dict[str, list] = {}
+        rowstate: Dict[str, tuple] = {}
 
         def flush(scene_id: str):
             frames = pending.pop(scene_id, [])
@@ -630,10 +679,24 @@ class Pipeline:
                 pad["mask"] = np.zeros_like(frames[-1]["mask"])
                 frames = frames + [pad] * (chunk - n)
             stacked = self._stack_host_frames(frames)
-            volume = database.volumes[scene_id]
-            new_volume = self.fuse_sequence((params, batch_stats), volume,
-                                            stacked, seg_params)
-            database.update(scene_id, new_volume)
+            if self.row_path:
+                if scene_id not in rowstate:
+                    volume = database.volumes[scene_id]
+                    layout = rowvol.RowLayout.for_shape(
+                        tuple(volume.num.shape))
+                    rowstate[scene_id] = (
+                        layout, self._enter_rows(layout, volume))
+                layout, rv = rowstate[scene_id]
+                rv = self.fuse_sequence_rows(layout,
+                                             (params, batch_stats), rv,
+                                             stacked, seg_params)
+                rowstate[scene_id] = (layout, rv)
+            else:
+                volume = database.volumes[scene_id]
+                new_volume = self.fuse_sequence((params, batch_stats),
+                                                volume, stacked,
+                                                seg_params)
+                database.update(scene_id, new_volume)
 
         for batch in batches:
             if not np.all(np.isfinite(np.asarray(batch["extrinsics"]))):
@@ -646,6 +709,8 @@ class Pipeline:
                 flush(scene_id)
         for scene_id in list(pending):
             flush(scene_id)
+        for scene_id, (layout, rv) in rowstate.items():
+            database.update(scene_id, self._exit_rows(layout, rv))
 
     def fuse(self, batch, database, params, batch_stats, seg_params=None):
         """Online inference on one frame; updates the database in place

@@ -73,11 +73,22 @@ def _pack16(num, w):
 
 
 def _kernel(geo_hbm, out_ref, slab, sem, *, TY, Y, G, GK, NJ, N, interp):
-    def roll(t, s, n):
-        """Value from lane (l - s) % n -- jnp.roll semantics, verified
+    """Full-128-lane formulation. The first version of this kernel sliced
+    P down to its 16 valid lanes and assembled the output with 8 narrow
+    16-lane stores -- Mosaic pads sub-128-lane values to full vregs, so
+    every P op ran at 1/8 lane efficiency and the kernel was
+    COMPUTE-bound at 2-4x its DMA floor (tools/probe_shadow_variants.py:
+    DMA-only 19.7 ms = the 20.3 ms BW floor; full kernel 48-102 ms).
+    Here every tensor keeps 128 lanes end-to-end: the z-group axis is
+    split into even/odd halves (A = group 2gk, B = 2gk+1) so z-group
+    shifts become sublane-axis concats, the bf16 pack runs on all 128
+    lanes (only lane group 0 is ever read), and the output tile is
+    composed with lane-range selects + rolls and written with ONE
+    full-width store."""
+    def roll(t, s):
+        """Value from lane (l - s) % 128 -- jnp.roll semantics, verified
         identical between Mosaic's compiled rotate and interpret mode
         (tools/probe_shadow_debug.py)."""
-        del n
         return pltpu.roll(t, s, t.ndim - 1)
 
     x = pl.program_id(0)
@@ -102,57 +113,80 @@ def _kernel(geo_hbm, out_ref, slab, sem, *, TY, Y, G, GK, NJ, N, interp):
 
     dma(i, i % 2).wait()
     v_all = slab[i % 2].reshape(TY + 2, G, 128)
+    Gp = 2 * GK
+    if G < Gp:   # odd group count: the last gk's odd half is zero
+        v_all = jnp.concatenate(
+            [v_all, jnp.zeros((TY + 2, Gp - G, 128), v_all.dtype)], axis=1)
+    vh = v_all.reshape(TY + 2, GK, 2, 128)
+    vA_all, vB_all = vh[:, :, 0], vh[:, :, 1]     # (TY+2, GK, 128)
 
     # reconcile for TY+1 physical rows (y0 .. y0+TY): slot row y at slab
     # index 1+dy, slot row y-1 at dy
-    v = v_all[1:TY + 2]
-    vy = v_all[0:TY + 1]
+    vA, vyA = vA_all[1:TY + 2], vA_all[0:TY + 1]
+    vB, vyB = vB_all[1:TY + 2], vB_all[0:TY + 1]
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (TY + 1, G, 128), 2)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TY + 1, GK, 128), 2)
     lm0 = (lane % 16) == 0
 
-    def prevg(t):
+    def prevgk(t):       # X[gk-1] along the z-group-pair axis
         return jnp.concatenate(
             [jnp.zeros((TY + 1, 1, 128), t.dtype), t[:, :-1]], axis=1)
 
-    pv, pvy = prevg(v), prevg(vy)
-    # Combined reconcile in one tensor: for a lane l in component c's
+    # Combined reconcile per half: for a lane l in component c's
     # positions, t[l] = v[l] (comp c) + v[l+15] (comp c+1 at slot s-1)
     # + vy[l+32] (comp c+2) + vy[l+47] (comp c+3 at slot s-1); at slot
-    # s == 0 the "s-1" terms carry from the previous group's slot 15:
-    # prevg[l+31] / prevg[l+63]. Only the comp-0 (num) and comp-4 (w)
-    # lane groups of t are ever read, so comp wrap-around garbage in the
-    # upper groups is harmless.
+    # s == 0 the "s-1" terms carry from the previous z-GROUP's slot 15 --
+    # group 2gk's previous group is B[gk-1], group 2gk+1's is A[gk].
+    # Only the comp-0 (num) and comp-4 (w) lane groups of t are ever
+    # read, so comp wrap-around garbage in the upper groups is harmless.
     # pltpu.roll convention (jnp.roll, shift >= 0): roll(t, s)[l] =
-    # t[(l - s) % n], so a backward shift by k is roll by n - k.
-    t = (v
-         + jnp.where(lm0, roll(pv, 97, 128), roll(v, 113, 128))
-         + roll(vy, 96, 128)
-         + jnp.where(lm0, roll(pvy, 65, 128),
-                     roll(vy, 81, 128)))
-    num = t[:, :, 0:16]                                   # (TY+1, G, 16)
-    w = roll(t, 64, 128)[:, :, 0:16]
-    P = _pack16(num, w)                                   # (TY+1, G, 16)
+    # t[(l - s) % 128], so a backward shift by k is roll by 128 - k.
+    def reconcile(v, vy, pv, pvy):
+        return (v
+                + jnp.where(lm0, roll(pv, 97), roll(v, 113))
+                + roll(vy, 96)
+                + jnp.where(lm0, roll(pvy, 65), roll(vy, 81)))
 
-    # P(z+1): narrow group-local forward shift with group carry
-    s16 = jax.lax.broadcasted_iota(jnp.int32, (TY + 1, G, 16), 2)
-    Pn = jnp.concatenate(
-        [P[:, 1:], jnp.zeros((TY + 1, 1, 16), P.dtype)], axis=1)
-    Pz = jnp.where(s16 == 15, roll(Pn, 15, 16), roll(P, 15, 16))
+    tA = reconcile(vA, vyA, prevgk(vB), prevgk(vyB))
+    tB = reconcile(vB, vyB, vA, vyA)
 
-    # shadow components: [P, P(z+1), P(y+1), P(y+1, z+1)]
-    comps = (P[:TY], Pz[:TY], P[1:], Pz[1:])
+    # full-width pack: lane l pairs (num = t[l], w = t[l+64]) -- exactly
+    # the (comp 0, comp 4) pair at the valid lanes 0..15
+    PA_all = _pack16(tA, roll(tA, 64))            # (TY+1, GK, 128) u32
+    PB_all = _pack16(tB, roll(tB, 64))
 
-    Gp = 2 * GK
-    for c, Pc in enumerate(comps):
-        if G < Gp:
-            Pc = jnp.concatenate(
-                [Pc, jnp.zeros((TY, Gp - G, 16), Pc.dtype)], axis=1)
-        rg = Pc.reshape(TY, GK, 2, 16)
-        out_ref[0, :, 32 * c:32 * c + 16] = rg[:, :, 0].reshape(
-            TY * GK, 16)
-        out_ref[0, :, 32 * c + 16:32 * c + 32] = rg[:, :, 1].reshape(
-            TY * GK, 16)
+    # shadow components [P, P(z+1), P(y+1), P(y+1, z+1)]: compose each
+    # comp's 32-slot lane block from the A/B halves (valid lanes 0..15)
+    PA, PAy = PA_all[:TY], PA_all[1:]
+    PB, PBy = PB_all[:TY], PB_all[1:]
+
+    l32 = jax.lax.broadcasted_iota(jnp.int32, (TY, GK, 128), 2)
+
+    def nextgk(t):       # X[gk+1], zero beyond the last group pair
+        return jnp.concatenate(
+            [t[:, 1:], jnp.zeros((TY, 1, 128), t.dtype)], axis=1)
+
+    def comp_same(a, b):
+        # lanes 0..15 <- a[l] (group 2gk), lanes 16..31 <- b[l-16]
+        return jnp.where(l32 < 16, a, roll(b, 16))
+
+    def comp_znext(a, b):
+        # voxel z+1: lanes 0..14 <- a[l+1]; 15..30 <- b[l-15]
+        # (l=15 -> b[0], the next group's slot 0); 31 <- a[gk+1][0]
+        return jnp.where(l32 < 15, roll(a, 127),
+                         jnp.where(l32 < 31, roll(b, 15),
+                                   roll(nextgk(a), 31)))
+
+    c0 = comp_same(PA, PB)
+    c1 = comp_znext(PA, PB)
+    c2 = comp_same(PAy, PBy)
+    c3 = comp_znext(PAy, PBy)
+
+    out = jnp.where(l32 < 32, c0,
+                    jnp.where(l32 < 64, roll(c1, 32),
+                              jnp.where(l32 < 96, roll(c2, 64),
+                                        roll(c3, 96))))
+    out_ref[0] = out.reshape(TY * GK, 128)
 
 
 def build_shadow_pallas(geo: jnp.ndarray, layout, interpret: bool = False,

@@ -48,6 +48,8 @@ it (tests/test_shadow_pallas.py masks exactly these dead lanes).
 
 from __future__ import annotations
 
+import dataclasses
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -136,14 +138,24 @@ class RowLayout(NamedTuple):
 # slots back to canonical.
 
 
-class RowVolume(NamedTuple):
-    """Scene state in scatter-slot form (carried through row-path scans;
-    converted from/to SceneVolume at scan boundaries)."""
+@functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=("geo", "key", "origin", "resolution"),
+                   meta_fields=("init_value",))
+@dataclasses.dataclass
+class RowVolume:
+    """Scene state in scatter-slot form (carried through row-path scans
+    and across fuse_many chunks; converted from/to SceneVolume at stream
+    boundaries). ``init_value`` is STATIC metadata like SceneVolume's --
+    a traced leaf here would leak a tracer into SceneVolume's treedef
+    when a jitted exit conversion rebuilds the canonical state."""
     geo: jnp.ndarray      # (geo_rows, 128) f32 slot rows (SLOT LAYOUT)
     key: jnp.ndarray      # (key_rows, 128) i32 slot rows (KEY SLOT LAYOUT)
     origin: jnp.ndarray
     resolution: jnp.ndarray
     init_value: float
+
+    def _replace(self, **kw) -> "RowVolume":
+        return dataclasses.replace(self, **kw)
 
 
 # -- canonical <-> slots ------------------------------------------------------
@@ -288,15 +300,23 @@ def shadow_from_canonical(num, w, layout: RowLayout) -> jnp.ndarray:
 # -- corner geometry ----------------------------------------------------------
 
 class CornerRows(NamedTuple):
-    """Slot-addressed trilinear corner data, shapes (n, p[, 2])."""
-    sg_rows: jnp.ndarray   # (n, p, 2) geo slot row per x-corner
+    """Slot-addressed trilinear corner data.
+
+    Per-x-corner arrays are CORNER-MAJOR (2, n, p) -- the corner axis
+    LEADS. A minor corner axis ((n, p, 2)) makes every broadcast of the
+    shared (n, p) quantities materialise a lane-2 tensor that TPU tiling
+    pads 64x (measured 9.6 ms/frame of pure broadcast relayout at 256^2,
+    tools/profile_trace.py); corner-major lets all hot math run per
+    corner on compact flat (m,) arrays and the shared->both-corners
+    expansion become a cheap 1-D concatenate."""
+    sg_rows: jnp.ndarray   # (2, n, p) geo slot row per x-corner
     sgs: jnp.ndarray       # (n, p) geo z-slot (z_lo % 16)
-    k_rows: jnp.ndarray    # (n, p, 2) key/shadow slot row per x-corner
+    k_rows: jnp.ndarray    # (2, n, p) key/shadow slot row per x-corner
     ksl: jnp.ndarray       # (n, p) key/shadow z-slot (z_lo % 32)
     dz0: jnp.ndarray       # (n, p) z-corner-0 offset from z_lo (0/1)
     dz1: jnp.ndarray       # (n, p) z-corner-1 offset from z_lo (0/1)
-    wx: jnp.ndarray        # (n, p, 2) x-corner weights
-    vx: jnp.ndarray        # (n, p, 2) x-corner validity
+    wx: jnp.ndarray        # (2, n, p) x-corner weights
+    vx: jnp.ndarray        # (2, n, p) x-corner validity
     wyA: jnp.ndarray       # (n, p) weight mass on column A (pair low y)
     wyB: jnp.ndarray       # (n, p) weight mass on column B
     vyA: jnp.ndarray       # (n, p) column A in-bounds
@@ -345,17 +365,16 @@ def corner_rows(points_v: jnp.ndarray, layout: RowLayout) -> CornerRows:
     z_lo = jnp.minimum(z0c, z1c)
 
     xs = jnp.stack([jnp.clip(x0, 0, L.X - 1),
-                    jnp.clip(x1, 0, L.X - 1)], axis=-1)   # (n, p, 2)
-    sg_rows = (xs * (L.Y + 2) + 1 + y_lo_c[..., None]) * L.G \
-        + (z_lo // 16)[..., None]
-    k_rows = (xs * L.Y + y_lo_c[..., None]) * L.GK \
-        + (z_lo // 32)[..., None]
+                    jnp.clip(x1, 0, L.X - 1)], axis=0)    # (2, n, p)
+    sg_rows = (xs * (L.Y + 2) + 1 + y_lo_c[None]) * L.G \
+        + (z_lo // 16)[None]
+    k_rows = (xs * L.Y + y_lo_c[None]) * L.GK + (z_lo // 32)[None]
 
     return CornerRows(
         sg_rows=sg_rows, sgs=z_lo % 16, k_rows=k_rows, ksl=z_lo % 32,
         dz0=z0c - z_lo, dz1=z1c - z_lo,
-        wx=jnp.stack([wx0, wx1], -1).astype(jnp.float32),
-        vx=jnp.stack([vx0, vx1], -1),
+        wx=jnp.stack([wx0, wx1], 0).astype(jnp.float32),
+        vx=jnp.stack([vx0, vx1], 0),
         wyA=wyA.astype(jnp.float32), wyB=wyB.astype(jnp.float32),
         vyA=vyA, vyB=vyB,
         wz0=wz0.astype(jnp.float32), wz1=wz1.astype(jnp.float32),
@@ -369,45 +388,42 @@ def _unpack(g):
     return unpack16_numw(g)
 
 
-def _flatx(a, shape3):
-    """Broadcast (n, p[, 2]) onto the x-corner axis and flatten to (R,).
-
-    ALL hot elementwise math here runs on flat 1-D (or (R, lanes) 2-D)
-    tensors: shapes like (n, p, 2) put extent 2 (or 9) in the TPU lane
-    dimension and waste the (8, 128) vector tile -- measured 8x slower
-    (tools/probe_lane_shapes.py)."""
-    if a.ndim == 2:
-        a = a[..., None]
-    return jnp.broadcast_to(a, shape3).reshape(-1)
-
-
 def _extract_block(shadow, cr: CornerRows, init_value: float,
                    fill_value: float):
-    s3 = cr.k_rows.shape                              # (n, p, 2)
-    rows = jnp.take(shadow, cr.k_rows.reshape(-1), axis=0)   # (R, 128)
-    sl = _flatx(cr.ksl, s3)[:, None]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (rows.shape[0], 32), 1)
-    hot = iota == sl                  # one slot mask, shared by all comps
+    # Corner-major: the gathered row tensor is (2m, 128) with corner 0's
+    # m samples first; per-sample shared quantities stay compact (m,)
+    # and the corner-dependent math runs per corner on (m,) slices -- no
+    # lane-2 broadcasts anywhere (see CornerRows docstring).
+    n, p = cr.ksl.shape
+    m = n * p
+    rows = jnp.take(shadow, cr.k_rows.reshape(-1), axis=0)   # (2m, 128)
+    slf = cr.ksl.reshape(-1)
+    sl2 = jnp.concatenate([slf, slf])[:, None]               # (2m, 1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (2 * m, 32), 1)
+    hot = iota == sl2                 # one slot mask, shared by all comps
 
     def quarter(lo):
         # masked one-hot reduce per 32-lane corner component; keeping
         # the mask inside each reduce lets XLA fuse it instead of
-        # materialising a (R, 128) masked copy of the gathered rows
+        # materialising a (2m, 128) masked copy of the gathered rows
         return jnp.sum(jnp.where(hot, rows[:, lo:lo + 32], jnp.uint32(0)),
                        axis=-1)
 
     qA0, qA1, qB0, qB1 = (quarter(0), quarter(32), quarter(64),
-                          quarter(96))                # (R,) u32 packed
+                          quarter(96))               # (2m,) u32 packed
 
-    vx = _flatx(cr.vx, s3)
-    dz0 = _flatx(cr.dz0, s3)
-    dz1 = _flatx(cr.dz1, s3)
-    vz0 = _flatx(cr.vz0, s3)
-    vz1 = _flatx(cr.vz1, s3)
-    wz0 = _flatx(cr.wz0, s3)
-    wz1 = _flatx(cr.wz1, s3)
+    dz0 = cr.dz0.reshape(-1)
+    dz1 = cr.dz1.reshape(-1)
+    vz0 = cr.vz0.reshape(-1)
+    vz1 = cr.vz1.reshape(-1)
+    wz0 = cr.wz0.reshape(-1)
+    wz1 = cr.wz1.reshape(-1)
+    vyA = cr.vyA.reshape(-1)
+    vyB = cr.vyB.reshape(-1)
+    wyA = cr.wyA.reshape(-1)
+    wyB = cr.wyB.reshape(-1)
 
-    def column(q0, q1, vy, wy):
+    def column(q0, q1, vx, vy, wy):
         # z-candidate k reads slot component dz_k
         g0 = jnp.where(dz0 == 0, q0, q1)
         g1 = jnp.where(dz1 == 0, q0, q1)
@@ -426,18 +442,22 @@ def _extract_block(shadow, cr: CornerRows, init_value: float,
         return (wy * (wz0 * v0 + wz1 * v1),
                 wy * (wz0 * fw0 + wz1 * fw1))
 
-    vA, wA = column(qA0, qA1, _flatx(cr.vyA, s3), _flatx(cr.wyA, s3))
-    vB, wB = column(qB0, qB1, _flatx(cr.vyB, s3), _flatx(cr.wyB, s3))
-    wx = _flatx(cr.wx, s3)
-    fusion_values = jnp.sum((wx * (vA + vB)).reshape(s3), axis=-1)
-    fusion_weights = jnp.sum((wx * (wA + wB)).reshape(s3), axis=-1)
+    fv = fw = 0.0
+    for c in range(2):
+        vx_c = cr.vx[c].reshape(-1)
+        wx_c = cr.wx[c].reshape(-1)
+        vA, wA = column(qA0[c * m:(c + 1) * m], qA1[c * m:(c + 1) * m],
+                        vx_c, vyA, wyA)
+        vB, wB = column(qB0[c * m:(c + 1) * m], qB1[c * m:(c + 1) * m],
+                        vx_c, vyB, wyB)
+        fv = fv + wx_c * (vA + vB)
+        fw = fw + wx_c * (wA + wB)
     # y-corners whose column fell outside the clipped pair are always out
     # of bounds: they read fill_value with their full trilinear weight
     # (reference container scheme) but carry no fusion weight. Per-axis
     # weights each sum to 1, so their collective mass is 1 - wyA - wyB.
-    fusion_values = fusion_values \
-        + (1.0 - cr.wyA - cr.wyB) * jnp.float32(fill_value)
-    return fusion_values, fusion_weights
+    fv = fv + (1.0 - wyA - wyB) * jnp.float32(fill_value)
+    return fv.reshape(n, p), fw.reshape(n, p)
 
 
 def extract_rows(shadow: jnp.ndarray, cr: CornerRows, init_value: float,
@@ -447,12 +467,18 @@ def extract_rows(shadow: jnp.ndarray, cr: CornerRows, init_value: float,
     flat path (geometry.trilinear_gather_packed16) with 8x fewer random
     accesses. Rays are processed in chunks so the gathered row tensor
     stays small for full-resolution frames."""
-    n = cr.k_rows.shape[0]
+    n = cr.ksl.shape[0]
     k = _nchunks(n, chunk)
     if k == 1:
         return _extract_block(shadow, cr, init_value, fill_value)
-    crk = jax.tree_util.tree_map(
-        lambda a: a.reshape((k, n // k) + a.shape[1:]), cr)
+
+    def split(a):
+        if a.ndim == 3:      # corner-major (2, n, p) -> (k, 2, n//k, p)
+            return jnp.moveaxis(
+                a.reshape((2, k, n // k) + a.shape[2:]), 0, 1)
+        return a.reshape((k, n // k) + a.shape[1:])
+
+    crk = jax.tree_util.tree_map(split, cr)
 
     def body(_, crc):
         return None, _extract_block(shadow, crc, init_value, fill_value)
@@ -501,56 +527,70 @@ def integrate_rows(geo, key, cr: CornerRows, values, sem_key, ray_mask,
     frames stream through in a few python-unrolled chunks so the built
     update tensors stay bounded."""
     t = n_tail
-    s3 = cr.sg_rows[:, :t].shape                           # (n, t, 2)
+    n = cr.ksl.shape[0]
+    m = n * t
 
-    def cut(a):
-        return _flatx(a[:, :t], s3)
+    def flat(a):          # shared (n, p) -> tail-cut compact (m,)
+        return a[:, :t].reshape(-1)
 
-    wx = cut(cr.wx) * cut(cr.vx)
-    if ray_mask is not None:
-        wx = wx * _flatx(jnp.broadcast_to(ray_mask[:, None],
-                                          s3[:2]), s3)
-    dz0, dz1 = cut(cr.dz0), cut(cr.dz1)
-    wz0 = cut(cr.wz0) * cut(cr.vz0)
-    wz1 = cut(cr.wz1) * cut(cr.vz1)
+    def both(a):          # (m,) -> (2m,) corner-major duplication
+        return jnp.concatenate([a, a])
+
+    dz0, dz1 = flat(cr.dz0), flat(cr.dz1)
+    wz0 = flat(cr.wz0) * flat(cr.vz0)
+    wz1 = flat(cr.wz1) * flat(cr.vz1)
     # weight mass landing on slot z-offset 0 / 1 (degenerate pairs have
     # dz0 == dz1 == 0 and fold onto offset 0)
     wz_at0 = jnp.where(dz0 == 0, wz0, 0.0) + jnp.where(dz1 == 0, wz1, 0.0)
     wz_at1 = jnp.where(dz0 == 1, wz0, 0.0) + jnp.where(dz1 == 1, wz1, 0.0)
-    wyA = cut(cr.wyA) * cut(cr.vyA)
-    wyB = cut(cr.wyB) * cut(cr.vyB)
-    nvals = _flatx(jnp.broadcast_to(values[:, :t, None], s3)
-                   .astype(jnp.float32), s3)
+    wyA = flat(cr.wyA) * flat(cr.vyA)
+    wyB = flat(cr.wyB) * flat(cr.vyB)
+    # shared (y, z)-corner weight products
+    pA0, pA1 = wyA * wz_at0, wyA * wz_at1
+    pB0, pB1 = wyB * wz_at0, wyB * wz_at1
+    nvals = jnp.broadcast_to(values[:, :t],
+                             (n, t)).astype(jnp.float32).reshape(-1)
+    rm = (jnp.broadcast_to(ray_mask[:, None], (n, t)).reshape(-1)
+          if ray_mask is not None else None)
 
-    wA0 = wx * wyA * wz_at0
-    wA1 = wx * wyA * wz_at1
-    wB0 = wx * wyB * wz_at0
-    wB1 = wx * wyB * wz_at1
-    vals8 = jnp.stack(
-        [wA0 * nvals, wA1 * nvals, wB0 * nvals, wB1 * nvals,
-         wA0, wA1, wB0, wB1], axis=-1)                     # (M, 8)
+    def corner_vals8(c):
+        wx_c = cr.wx[c][:, :t].reshape(-1) * cr.vx[c][:, :t].reshape(-1)
+        if rm is not None:
+            wx_c = wx_c * rm
+        nv_c = wx_c * nvals
+        return jnp.stack(
+            [pA0 * nv_c, pA1 * nv_c, pB0 * nv_c, pB1 * nv_c,
+             pA0 * wx_c, pA1 * wx_c, pB0 * wx_c, pB1 * wx_c],
+            axis=-1)                                       # (m, 8)
+
+    vals8 = jnp.concatenate([corner_vals8(0), corner_vals8(1)], axis=0)
 
     if sem_key is not None:
-        k = jnp.broadcast_to(sem_key.astype(jnp.int32)[:, None, None], s3)
-        kx = _flatx(k, s3)
-        if ray_mask is not None:
-            kx = jnp.where(_flatx(jnp.broadcast_to(
-                ray_mask[:, None], s3[:2]), s3), kx, 0)
-        kx = jnp.where(cut(cr.vx).astype(bool), kx, 0)
-        vz0b, vz1b = cut(cr.vz0).astype(bool), cut(cr.vz1).astype(bool)
+        kf = jnp.broadcast_to(sem_key.astype(jnp.int32)[:, None],
+                              (n, t)).reshape(-1)
+        if rm is not None:
+            kf = jnp.where(rm, kf, 0)
+        vz0b, vz1b = flat(cr.vz0).astype(bool), flat(cr.vz1).astype(bool)
         m0 = ((dz0 == 0) & vz0b) | ((dz1 == 0) & vz1b)
         m1 = ((dz0 == 1) & vz0b) | ((dz1 == 1) & vz1b)
-        vyAb, vyBb = cut(cr.vyA).astype(bool), cut(cr.vyB).astype(bool)
-        kvals = jnp.stack(
-            [jnp.where(vyAb & m0, kx, 0), jnp.where(vyAb & m1, kx, 0),
-             jnp.where(vyBb & m0, kx, 0), jnp.where(vyBb & m1, kx, 0)],
-            axis=-1)                                       # (M, 4)
-        k_rows = cr.k_rows[:, :t].reshape(-1)
-        ksl = cut(cr.ksl)
+        vyAb, vyBb = flat(cr.vyA).astype(bool), flat(cr.vyB).astype(bool)
+
+        def corner_kvals(c):
+            kx = jnp.where(cr.vx[c][:, :t].reshape(-1).astype(bool),
+                           kf, 0)
+            return jnp.stack(
+                [jnp.where(vyAb & m0, kx, 0), jnp.where(vyAb & m1, kx, 0),
+                 jnp.where(vyBb & m0, kx, 0), jnp.where(vyBb & m1, kx, 0)],
+                axis=-1)                                   # (m, 4)
+
+        kvals = jnp.concatenate([corner_kvals(0), corner_kvals(1)], axis=0)
+        k_rows = cr.k_rows[:, :, :t].reshape(-1)
+        ksl = both(flat(cr.ksl))
     else:
         kvals = k_rows = ksl = None
 
-    blk = _UpdateBlock(rows=cr.sg_rows[:, :t].reshape(-1), sgs=cut(cr.sgs),
+    blk = _UpdateBlock(rows=cr.sg_rows[:, :, :t].reshape(-1),
+                       sgs=both(flat(cr.sgs)),
                        vals8=vals8, k_rows=k_rows, ksl=ksl, kvals=kvals)
 
     m = blk.rows.shape[0]

@@ -68,17 +68,18 @@ def test_fuse_many_interleaved_scenes_keeps_chunking():
 
     db.reset()
     calls = []
-    orig = pipe.fuse_sequence
+    orig = pipe.fuse_sequence_rows   # row path carries slot state across
+                                     # chunks; chunk dispatches land here
 
-    def counting_fuse_sequence(ps, volume, stacked, seg):
+    def counting_fuse_sequence_rows(layout, ps, rv, stacked, seg):
         calls.append(int(stacked["depth"].shape[0]))
-        return orig(ps, volume, stacked, seg)
+        return orig(layout, ps, rv, stacked, seg)
 
-    pipe.fuse_sequence = counting_fuse_sequence
+    pipe.fuse_sequence_rows = counting_fuse_sequence_rows
     try:
         pipe.fuse_many(batches, db, params, stats, chunk=4)
     finally:
-        pipe.fuse_sequence = orig
+        pipe.fuse_sequence_rows = orig
 
     # 6 frames/scene at chunk 4 -> 2 dispatches per scene, all of size 4
     assert len(calls) == 4, f"expected 4 chunk dispatches, got {calls}"

@@ -64,9 +64,9 @@ def main():
     pts = ray_points(rng)
     iters = jnp.arange(FRAMES, dtype=jnp.float32)
     cr0 = jax.jit(rowvol.corner_rows, static_argnums=1)(pts, L)
-    g_idx = jnp.asarray(cr0.k_rows).reshape(-1)           # (N*P*2,)
-    sg_idx = jnp.asarray(cr0.sg_rows[:, :T]).reshape(-1)  # (N*T*2,)
-    sk_idx = jnp.asarray(cr0.k_rows[:, :T]).reshape(-1)
+    g_idx = jnp.asarray(cr0.k_rows).reshape(-1)             # (2*N*P,)
+    sg_idx = jnp.asarray(cr0.sg_rows[:, :, :T]).reshape(-1)  # (2*N*T,)
+    sk_idx = jnp.asarray(cr0.k_rows[:, :, :T]).reshape(-1)
     vals = jnp.asarray(rng.randn(N, T).astype(np.float32) * 0.05)
     sem = jnp.asarray(rng.randint(1, 1 << 20, N).astype(np.int32))
     print(f"gathers {g_idx.shape[0]}, scatters {sg_idx.shape[0]}",
