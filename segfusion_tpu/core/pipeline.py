@@ -279,14 +279,21 @@ class Pipeline:
                                 resolution=volume.resolution,
                                 init_value=volume.init_value)
 
-    _enter_rows = functools.partial(jax.jit, static_argnums=(0, 1),
-                                    donate_argnums=(2,))(_enter_rows_impl)
+    # NOT donated: the database keeps its SceneVolume alive (reset() /
+    # eval paths may still touch it while the row state is carried)
+    _enter_rows = functools.partial(jax.jit,
+                                    static_argnums=(0, 1))(_enter_rows_impl)
 
     def _exit_rows_impl(self, layout, rv: rowvol.RowVolume) -> SceneVolume:
         return self._volume_from_rows(rv, layout)
 
     _exit_rows = functools.partial(jax.jit, static_argnums=(0, 1),
                                    donate_argnums=(2,))(_exit_rows_impl)
+
+    # non-donating variant: materialise a SceneVolume view while KEEPING
+    # the row state (mid-stream evals in row-carrying trainers)
+    _peek_rows = functools.partial(jax.jit,
+                                   static_argnums=(0, 1))(_exit_rows_impl)
 
     def _row_frontend(self, layout, rv: rowvol.RowVolume, frame,
                       seg_params, stop_sem_grad: bool = False):
@@ -591,33 +598,16 @@ class Pipeline:
         pre-packed once into a constant shadow -- the same per-frame
         row-op costs as inference plus the net backward.
         """
-        grad_zero = jax.tree_util.tree_map(jnp.zeros_like, params)
-
         if self.row_path:
             layout, rv = self._rows_from_volume(volume)
-            gt_shadow = rowvol.shadow_from_canonical(
-                gt_tsdf.astype(jnp.float32),
-                jnp.ones_like(gt_tsdf, jnp.float32), layout)
-
-            def row_body(carry, inp):
-                rv, stats, grad_acc, loss_acc = carry
-                frame, rng, reset = inp
-                rv = jax.lax.cond(
-                    reset,
-                    lambda r: r._replace(geo=jnp.zeros_like(r.geo),
-                                         key=jnp.zeros_like(r.key)),
-                    lambda r: r, rv)
-                loss, grads, rv, stats = self.step_train_rows_impl(
-                    params, stats, layout, rv, gt_shadow, frame,
-                    seg_params, rng)
-                grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
-                return (rv, stats, grad_acc, loss_acc + loss), None
-
-            (rv, stats, grad_sum, loss_sum), _ = jax.lax.scan(
-                row_body, (rv, batch_stats, grad_zero, jnp.float32(0.0)),
-                (frames, rngs, reset_flags))
+            gt_shadow = self._gt_shadow_impl(layout, gt_tsdf)
+            loss_sum, grad_sum, rv, stats = self.train_sequence_rows_impl(
+                layout, params, batch_stats, rv, gt_shadow, frames,
+                seg_params, rngs, reset_flags)
             return loss_sum, grad_sum, self._volume_from_rows(rv, layout), \
                 stats
+
+        grad_zero = jax.tree_util.tree_map(jnp.zeros_like, params)
 
         def body(carry, inp):
             volume, stats, grad_acc, loss_acc = carry
@@ -637,6 +627,48 @@ class Pipeline:
     train_sequence = functools.partial(jax.jit, static_argnums=(0,),
                                        donate_argnums=(3,))(
                                            train_sequence_impl)
+
+    def _gt_shadow_impl(self, layout, gt_tsdf):
+        """Pack a gt value volume into a constant target shadow (w = 1);
+        built once per scene and cached by row-carrying trainers."""
+        return rowvol.shadow_from_canonical(
+            gt_tsdf.astype(jnp.float32),
+            jnp.ones_like(gt_tsdf, jnp.float32), layout)
+
+    _gt_shadow = functools.partial(jax.jit, static_argnums=(0, 1))(
+        _gt_shadow_impl)
+
+    def train_sequence_rows_impl(self, layout, params, batch_stats,
+                                 rv: rowvol.RowVolume, gt_shadow, frames,
+                                 seg_params, rngs, reset_flags):
+        """Row-state-to-row-state :meth:`train_sequence`: the slot state
+        and the packed gt shadow stay OUTSIDE, so chunked trainers carry
+        them across optimizer steps and skip the per-chunk
+        canonical<->slot conversions (train_fusion.py row-carry)."""
+        grad_zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+        def row_body(carry, inp):
+            rv, stats, grad_acc, loss_acc = carry
+            frame, rng, reset = inp
+            rv = jax.lax.cond(
+                reset,
+                lambda r: r._replace(geo=jnp.zeros_like(r.geo),
+                                     key=jnp.zeros_like(r.key)),
+                lambda r: r, rv)
+            loss, grads, rv, stats = self.step_train_rows_impl(
+                params, stats, layout, rv, gt_shadow, frame,
+                seg_params, rng)
+            grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
+            return (rv, stats, grad_acc, loss_acc + loss), None
+
+        (rv, stats, grad_sum, loss_sum), _ = jax.lax.scan(
+            row_body, (rv, batch_stats, grad_zero, jnp.float32(0.0)),
+            (frames, rngs, reset_flags))
+        return loss_sum, grad_sum, rv, stats
+
+    train_sequence_rows = functools.partial(
+        jax.jit, static_argnums=(0, 1),
+        donate_argnums=(4,))(train_sequence_rows_impl)
 
     def fuse_many(self, batches, database, params, batch_stats,
                   seg_params=None, chunk: int = 16):

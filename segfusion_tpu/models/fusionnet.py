@@ -27,8 +27,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-__all__ = ["Block", "Pred", "VortexPooling", "FusionNetV1", "FusionNetV2",
-           "FusionNetV3", "build_fusion_net"]
+__all__ = ["Block", "Pred", "VortexPooling", "FusionHead", "FusionNetV1",
+           "FusionNetV2", "FusionNetV3", "build_fusion_net"]
 
 
 class Block(nn.Module):
@@ -207,11 +207,36 @@ class FusionNetV2(nn.Module):
         return self.output_scale * x
 
 
+class FusionHead(nn.Module):
+    """One v3 head: dense Blocks -> VortexPooling (reference
+    modules/model.py:232-260, one of the two parallel encoders)."""
+    n_ch: int
+    gf: int
+    pool_in: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = _dense_blocks(x, [Block(self.n_ch, dtype=self.dtype)
+                              for _ in range(self.gf)], train)
+        return VortexPooling(self.n_ch, self.pool_in,
+                             dtype=self.dtype)(x, train=train)
+
+
 class FusionNetV3(nn.Module):
     """Reference FusionNet_v3, the paper's model (modules/model.py:219-282):
     a TSDF head (values+weights+depth frame) and an optional semantic head
     (values+weights+semantic frame), each dense-blocks -> Vortex; heads
-    concatenated -> third Vortex -> pred stack."""
+    concatenated -> third Vortex -> pred stack.
+
+    TPU note: with semantics on, the two architecturally identical heads
+    run STACKED via a lifted vmap over a leading head axis -- jax lowers
+    the vmapped convs to single feature-grouped convs, halving the head
+    op count. Small-channel tensors here pad to 128 lanes regardless of
+    C, so per-op padded traffic (not FLOPs) dominates FusionNet cost
+    (tools/profile_trace.py: FusionNet 15.1 ms/frame vs the 2x-ResNet-50
+    AdapNet's 1.9 at 256^2); head params gain a leading axis of 2
+    (utils/torch_convert stacks the reference's per-head weights)."""
     n_points: int = 9
     use_semantics: bool = False
     output_scale: float = 1.0
@@ -226,18 +251,24 @@ class FusionNetV3(nn.Module):
 
         x_tsdf = _cat_inputs(data, ["tsdf_values", "tsdf_weights",
                                     "tsdf_frame"])
-        y = _dense_blocks(x_tsdf, [Block(n_ch, dtype=self.dtype)
-                                   for _ in range(gf)], train)
-        y = VortexPooling(n_ch, pool_in, dtype=self.dtype)(y, train=train)
-
         if self.use_semantics:
             x_sem = _cat_inputs(data, ["tsdf_values", "tsdf_weights",
                                        "semantic_frame"])
-            y1 = _dense_blocks(x_sem, [Block(n_ch, dtype=self.dtype)
-                                       for _ in range(gf)], train)
-            y1 = VortexPooling(n_ch, pool_in, dtype=self.dtype)(y1,
-                                                                train=train)
-            y = jnp.concatenate([y, y1], axis=-1)
+            xh = jnp.stack([x_tsdf, x_sem], axis=0)   # (2, B, H, W, C)
+            # train is passed POSITIONALLY (in_axes None): lifted vmap
+            # silently drops kwargs, which would pin the heads' BN to
+            # inference mode during training
+            DualHead = nn.vmap(
+                FusionHead, in_axes=(0, None), out_axes=0,
+                variable_axes={"params": 0, "batch_stats": 0},
+                split_rngs={"params": True, "dropout": True},
+            )
+            yh = DualHead(n_ch, gf, pool_in, dtype=self.dtype,
+                          name="DualHead_0")(xh, train)
+            y = jnp.concatenate([yh[0], yh[1]], axis=-1)
+        else:
+            y = FusionHead(n_ch, gf, pool_in, dtype=self.dtype,
+                           name="FusionHead_0")(x_tsdf, train=train)
 
         y = VortexPooling(n_ch, pool_in, dtype=self.dtype)(y, train=train)
         for i in range(gf):

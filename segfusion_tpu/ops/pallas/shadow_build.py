@@ -120,72 +120,64 @@ def _kernel(geo_hbm, out_ref, slab, sem, *, TY, Y, G, GK, NJ, N, interp):
     vh = v_all.reshape(TY + 2, GK, 2, 128)
     vA_all, vB_all = vh[:, :, 0], vh[:, :, 1]     # (TY+2, GK, 128)
 
-    # reconcile for TY+1 physical rows (y0 .. y0+TY): slot row y at slab
-    # index 1+dy, slot row y-1 at dy
-    vA, vyA = vA_all[1:TY + 2], vA_all[0:TY + 1]
-    vB, vyB = vB_all[1:TY + 2], vB_all[0:TY + 1]
-
-    lane = jax.lax.broadcasted_iota(jnp.int32, (TY + 1, GK, 128), 2)
-    lm0 = (lane % 16) == 0
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (TY + 2, GK, 128), 2)
+    lm0 = (lane2 % 16) == 0
 
     def prevgk(t):       # X[gk-1] along the z-group-pair axis
         return jnp.concatenate(
-            [jnp.zeros((TY + 1, 1, 128), t.dtype), t[:, :-1]], axis=1)
-
-    # Combined reconcile per half: for a lane l in component c's
-    # positions, t[l] = v[l] (comp c) + v[l+15] (comp c+1 at slot s-1)
-    # + vy[l+32] (comp c+2) + vy[l+47] (comp c+3 at slot s-1); at slot
-    # s == 0 the "s-1" terms carry from the previous z-GROUP's slot 15 --
-    # group 2gk's previous group is B[gk-1], group 2gk+1's is A[gk].
-    # Only the comp-0 (num) and comp-4 (w) lane groups of t are ever
-    # read, so comp wrap-around garbage in the upper groups is harmless.
-    # pltpu.roll convention (jnp.roll, shift >= 0): roll(t, s)[l] =
-    # t[(l - s) % 128], so a backward shift by k is roll by 128 - k.
-    def reconcile(v, vy, pv, pvy):
-        return (v
-                + jnp.where(lm0, roll(pv, 97), roll(v, 113))
-                + roll(vy, 96)
-                + jnp.where(lm0, roll(pvy, 65), roll(vy, 81)))
-
-    tA = reconcile(vA, vyA, prevgk(vB), prevgk(vyB))
-    tB = reconcile(vB, vyB, vA, vyA)
-
-    # full-width pack: lane l pairs (num = t[l], w = t[l+64]) -- exactly
-    # the (comp 0, comp 4) pair at the valid lanes 0..15
-    PA_all = _pack16(tA, roll(tA, 64))            # (TY+1, GK, 128) u32
-    PB_all = _pack16(tB, roll(tB, 64))
-
-    # shadow components [P, P(z+1), P(y+1), P(y+1, z+1)]: compose each
-    # comp's 32-slot lane block from the A/B halves (valid lanes 0..15)
-    PA, PAy = PA_all[:TY], PA_all[1:]
-    PB, PBy = PB_all[:TY], PB_all[1:]
-
-    l32 = jax.lax.broadcasted_iota(jnp.int32, (TY, GK, 128), 2)
+            [jnp.zeros((t.shape[0], 1, 128), t.dtype), t[:, :-1]], axis=1)
 
     def nextgk(t):       # X[gk+1], zero beyond the last group pair
         return jnp.concatenate(
-            [t[:, 1:], jnp.zeros((TY, 1, 128), t.dtype)], axis=1)
+            [t[:, 1:], jnp.zeros((t.shape[0], 1, 128), t.dtype)], axis=1)
 
-    def comp_same(a, b):
-        # lanes 0..15 <- a[l] (group 2gk), lanes 16..31 <- b[l-16]
-        return jnp.where(l32 < 16, a, roll(b, 16))
+    # Reconcile, z-part first (shared across the two y-rows each voxel
+    # reads -- the y-1 operand is the SAME u at the previous slab row):
+    # u[l] = v[l] (comp c) + v[l+15] (comp c+1 at slot s-1); at slot
+    # s == 0 the s-1 term carries from the previous z-GROUP's slot 15 --
+    # group 2gk's previous group is B[gk-1], group 2gk+1's is A[gk].
+    # Then t(y) = u(y) + u(y-1) rolled by 96: lanes 0..15 pick up the
+    # comp-2/3 pair sums of row y-1 (and lanes 64..79 the w comps 6/7).
+    # Only the num (0..15) and w (64..79) lane groups of t are ever read;
+    # comp wrap-around garbage elsewhere is harmless.
+    # pltpu.roll convention (jnp.roll, shift >= 0): roll(t, s)[l] =
+    # t[(l - s) % 128], so a backward shift by k is roll by 128 - k.
+    uA = vA_all + jnp.where(lm0, roll(prevgk(vB_all), 97),
+                            roll(vA_all, 113))
+    uB = vB_all + jnp.where(lm0, roll(vA_all, 97), roll(vB_all, 113))
+    tA = uA[1:] + roll(uA[:-1], 96)               # (TY+1, GK, 128)
+    tB = uB[1:] + roll(uB[:-1], 96)
 
-    def comp_znext(a, b):
-        # voxel z+1: lanes 0..14 <- a[l+1]; 15..30 <- b[l-15]
-        # (l=15 -> b[0], the next group's slot 0); 31 <- a[gk+1][0]
-        return jnp.where(l32 < 15, roll(a, 127),
-                         jnp.where(l32 < 31, roll(b, 15),
-                                   roll(nextgk(a), 31)))
+    # Half-shadow assembly BEFORE packing: E holds the [c0 | c1] 32+32
+    # lane blocks (comp 0 = P, comp 1 = P(z+1)) of num in lanes 0..31 via
+    # E_num and of w via E_w; one pack then produces the packed [c0|c1]
+    # half-row, and the [c2|c3] half is the SAME packed tensor at row
+    # y+1 (c2/c3 are c0/c1 of the next y) -- the y-expansion is one
+    # roll+select instead of re-assembling two more components.
+    l = jax.lax.broadcasted_iota(jnp.int32, (TY + 1, GK, 128), 2)
 
-    c0 = comp_same(PA, PB)
-    c1 = comp_znext(PA, PB)
-    c2 = comp_same(PAy, PBy)
-    c3 = comp_znext(PAy, PBy)
+    def assemble(a, b, o):
+        # lanes 0..15:  a[l+o]         (comp 0, group 2gk)
+        # lanes 16..31: b[l-16+o]      (comp 0, group 2gk+1)
+        # lanes 32..46: a[l-31+o]      (comp 1 = z+1 within group 2gk)
+        # lane  47:     b[0+o], 48..62: b[l-47+o]  (z+1 crossing into B)
+        # lane  63:     nextgk(a)[0+o] (z+1 crossing the group pair)
+        # o = 0 selects the num lanes, o = 64 the w lanes of t.
+        first = a if o == 0 else roll(a, (128 - o) % 128)
+        return jnp.where(
+            l < 16, first,
+            jnp.where(l < 32, roll(b, (16 - o) % 128),
+                      jnp.where(l < 47, roll(a, (31 - o) % 128),
+                                jnp.where(l < 63, roll(b, (47 - o) % 128),
+                                          roll(nextgk(a),
+                                               (63 - o) % 128)))))
 
-    out = jnp.where(l32 < 32, c0,
-                    jnp.where(l32 < 64, roll(c1, 32),
-                              jnp.where(l32 < 96, roll(c2, 64),
-                                        roll(c3, 96))))
+    E_num = assemble(tA, tB, 0)
+    E_w = assemble(tA, tB, 64)
+    P = _pack16(E_num, E_w)                       # (TY+1, GK, 128) u32
+
+    lo = jax.lax.broadcasted_iota(jnp.int32, (TY, GK, 128), 2)
+    out = jnp.where(lo < 64, P[:TY], roll(P[1:], 64))
     out_ref[0] = out.reshape(TY * GK, 128)
 
 
@@ -255,10 +247,11 @@ def _reconcile_kernel(geo_hbm, num_ref, w_ref, slab, sem,
             [jnp.zeros((TY, 1, 128), t.dtype), t[:, :-1]], axis=1)
 
     pv, pvy = prevg(v), prevg(vy)
-    t = (v
-         + jnp.where(lm0, roll(pv, 97), roll(v, 113))
-         + roll(vy, 96)
-         + jnp.where(lm0, roll(pvy, 65), roll(vy, 81)))
+    # (z-pair) + (z-pair) grouping, matching rowvol._reconcile_slot and
+    # the shadow kernel's shared-u formulation bit-exactly
+    t = ((v + jnp.where(lm0, roll(pv, 97), roll(v, 113)))
+         + (roll(vy, 96)
+            + jnp.where(lm0, roll(pvy, 65), roll(vy, 81))))
     num = t[:, :, 0:16]
     w = roll(t, 64)[:, :, 0:16]
     for g in range(G):
@@ -289,6 +282,117 @@ def reconcile_slot_pallas(geo: jnp.ndarray, layout,
         interpret=interpret,
     )(geo)
     return num[:, :, :L.Z], w[:, :, :L.Z]
+
+
+def _key_reconcile_kernel(key_hbm, k_ref, slab, bsem, hsem,
+                          *, TY, Y, GK, NJ, N):
+    """Key slot state -> canonical packed-key planes. Max-combine version
+    of _reconcile_kernel over the 4 x 32-slot key layout: voxel (y, z)
+    maxes comp 0 of slot (y, z), comp 1 of (y, z-1), comp 2 of (y-1, z),
+    comp 3 of (y-1, z-1). Key rows have NO y-pad rows (key_rows =
+    X*Y*GK), so slab row 0 is a y-1 halo: DMA'd separately (GK rows)
+    when the tile starts mid-column, zero-filled in compute when the
+    tile starts at y == 0 (with the default full-column tile the halo
+    copy never fires and each tile is ONE aligned body DMA -- per-copy
+    issue overhead, not BW, bounds these kernels)."""
+    def roll(t, s):
+        return pltpu.roll(t, s, t.ndim - 1)
+
+    x = pl.program_id(0)
+    j = pl.program_id(1)
+    i = x * NJ + j
+
+    def start_of(idx):
+        xx = idx // NJ
+        jj = idx - xx * NJ
+        return (xx * Y + jj * TY) * GK, jj
+
+    def dma_body(idx, s):
+        start, _ = start_of(idx)
+        return pltpu.make_async_copy(
+            key_hbm.at[pl.ds(start, TY * GK), :],
+            slab.at[s, pl.ds(GK, TY * GK)], bsem.at[s])
+
+    def dma_halo(idx, s):
+        start, _ = start_of(idx)
+        return pltpu.make_async_copy(
+            key_hbm.at[pl.ds(start - GK, GK), :],
+            slab.at[s, pl.ds(0, GK)], hsem.at[s])
+
+    def issue(idx, s):
+        dma_body(idx, s).start()
+        _, jj = start_of(idx)
+
+        @pl.when(jj > 0)
+        def _():
+            dma_halo(idx, s).start()
+
+    @pl.when(i == 0)
+    def _():
+        issue(0, 0)
+
+    @pl.when(i + 1 < N)
+    def _():
+        issue(i + 1, (i + 1) % 2)
+
+    dma_body(i, i % 2).wait()
+
+    @pl.when(j > 0)
+    def _():
+        dma_halo(i, i % 2).wait()
+
+    v_all = slab[i % 2].reshape(TY + 1, GK, 128)
+    # tiles starting at y == 0 have no y-1 rows: halo reads as zero
+    # (iota mask, not .at[].set -- value-scatter doesn't lower in Mosaic)
+    yidx = jax.lax.broadcasted_iota(jnp.int32, (TY + 1, GK, 128), 0)
+    v_all = jnp.where((j == 0) & (yidx == 0),
+                      jnp.zeros_like(v_all), v_all)
+    v = v_all[1:]                                  # (TY, GK, 128)
+    vy = v_all[:-1]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TY, GK, 128), 2)
+    lm0 = (lane % 32) == 0
+
+    def prevg(t):
+        return jnp.concatenate(
+            [jnp.zeros((TY, 1, 128), t.dtype), t[:, :-1]], axis=1)
+
+    # aligned to output lanes l in [0, 32): comp c's slot s lives at lane
+    # 32c + s, so c1[z-1] = lane l+31 (l > 0) / prev group's lane 63
+    # (l == 0), c2[y-1, z] = vy lane l+64, c3[y-1, z-1] = vy lane l+95
+    # (l > 0) / prev group's lane 127 (l == 0)
+    t = jnp.maximum(v, jnp.where(lm0, roll(prevg(v), 65), roll(v, 97)))
+    t = jnp.maximum(t, roll(vy, 64))
+    t = jnp.maximum(t, jnp.where(lm0, roll(prevg(vy), 1), roll(vy, 33)))
+    for g in range(GK):
+        k_ref[0, :, 32 * g:32 * g + 32] = t[:, g, 0:32]
+
+
+def reconcile_key_pallas(key: jnp.ndarray, layout, interpret: bool = False,
+                         max_ty: int = 112) -> jnp.ndarray:
+    """Key slot state -> canonical (X, Y, Z) packed keys; the on-device
+    counterpart of rowvol._reconcile_key. max_ty bounds Mosaic's scoped
+    VMEM for the compute temps (TY = 448 needs 38 MB > the 16 MB limit;
+    112 fits with margin). Runs once per scan exit, so per-tile DMA issue
+    overhead is immaterial here."""
+    L = layout
+    X, Y, GK = L.X, L.Y, L.GK
+    TY = _pick_ty(Y, max_ty)
+    NJ = Y // TY
+    Zp = 32 * GK
+    k = pl.pallas_call(
+        functools.partial(_key_reconcile_kernel, TY=TY, Y=Y, GK=GK, NJ=NJ,
+                          N=X * NJ),
+        grid=(X, NJ),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, TY, Zp), lambda x, j: (x, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((X, Y, Zp), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((2, (TY + 1) * GK, 128), jnp.int32),
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA((2,))],
+        interpret=interpret,
+    )(key)
+    return k[:, :, :L.Z]
 
 
 # -- vmap support -------------------------------------------------------------
@@ -341,9 +445,30 @@ def _reconcile_fn(layout):
     return f
 
 
+@_ft.lru_cache(maxsize=None)
+def _key_reconcile_fn(layout):
+    @jax.custom_batching.custom_vmap
+    def f(key):
+        return reconcile_key_pallas(key, layout)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, key):
+        Lb = _batched_layout(layout, axis_size)
+        k = reconcile_key_pallas(
+            key.reshape(axis_size * layout.key_rows, 128), Lb)
+        return k.reshape(axis_size, layout.X, layout.Y, layout.Z), True
+
+    return f
+
+
 def build_shadow_pallas_v(geo, layout):
     """vmappable entry point (see the custom_vmap note above)."""
     return _shadow_fn(layout)(geo)
+
+
+def reconcile_key_pallas_v(key, layout):
+    """vmappable entry point (see the custom_vmap note above)."""
+    return _key_reconcile_fn(layout)(key)
 
 
 def reconcile_slot_pallas_v(geo, layout):

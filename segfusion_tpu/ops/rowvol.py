@@ -65,7 +65,10 @@ __all__ = ["RowLayout", "RowVolume", "rows_from_volume", "volume_from_rows",
 # tools/probe_slot_scatter.py / probe_slot_stages.py), so the chunk target
 # keeps frames up to 512^2 UNCHUNKED -- slot updates are (M, 128), only
 # ~1.9 GB even there.
-_EXTRACT_CHUNK = 8192     # gather temp ~ chunk*p*2*128*4B (~75 MB at p=9)
+_EXTRACT_CHUNK = 16384    # gather temp ~ chunk*p*2*128*4B (~150 MB at
+                          # p=9; XLA materialises a few masked copies of
+                          # it -- 65536 OOMs HBM next to the 5.5 GB slot
+                          # state + net activations at 448^3/256^2)
 _INTEGRATE_CHUNK = 262144  # update temp ~ chunk*t*2*256*4B (~3.8 GB at t=7)
 
 
@@ -202,9 +205,11 @@ def _reconcile_slot(geo, layout: RowLayout):
     def collect(c0, c1, c2, c3):
         # padded-y rows: physical y lives at index 1+y, so comp 0/1 of
         # voxel y reads index 1+y and comp 2/3 (from slot row y-1) reads
-        # index y
-        return (plane(c0)[:, 1:L.Y + 1] + zsh(plane(c1))[:, 1:L.Y + 1]
-                + plane(c2)[:, 0:L.Y] + zsh(plane(c3))[:, 0:L.Y])
+        # index y. Pairwise (z-pair + z-pair) grouping -- the Pallas
+        # kernels share the z-pair partial sum across the two y rows, so
+        # bit-exactness requires this association order.
+        return ((plane(c0)[:, 1:L.Y + 1] + zsh(plane(c1))[:, 1:L.Y + 1])
+                + (plane(c2)[:, 0:L.Y] + zsh(plane(c3))[:, 0:L.Y]))
 
     num = collect(0, 1, 2, 3)[:, :, :L.Z]
     w = collect(4, 5, 6, 7)[:, :, :L.Z]
@@ -243,10 +248,11 @@ def volume_from_rows(geo, key, layout: RowLayout,
     if impl is None:
         impl = _impl_for(geo)
     if impl == "pallas":
-        from .pallas.shadow_build import reconcile_slot_pallas_v
+        from .pallas.shadow_build import (reconcile_key_pallas_v,
+                                          reconcile_slot_pallas_v)
         num, w = reconcile_slot_pallas_v(geo, layout)
-    else:
-        num, w = _reconcile_slot(geo, layout)
+        return num, w, reconcile_key_pallas_v(key, layout)
+    num, w = _reconcile_slot(geo, layout)
     return num, w, _reconcile_key(key, layout)
 
 

@@ -56,47 +56,53 @@ def _flatten_flax(tree, prefix=()) -> List[Tuple[Tuple[str, ...], Any]]:
     return out
 
 
-def _fusionnet_module_order(model_cfg) -> List[str]:
-    """Top-level flax module names of a FusionNet in execution order
-    (== the reference's construction/state-dict order)."""
+def _fusionnet_module_order(model_cfg) -> List[tuple]:
+    """Flax module path prefixes of a FusionNet in execution order
+    (== the reference's construction/state-dict order), as
+    ``(prefix_tuple, head_index_or_None)``. For the stacked v3 heads
+    (models/fusionnet.py DualHead), the SAME DualHead modules appear
+    once per head with the head slice index -- their param leaves carry
+    a leading axis of 2."""
     name = model_cfg.get("name", "v3")
     use_sem = bool(model_cfg.get("use_semantics", False))
     if name == "v1":
-        return [f"Block_{i}" for i in range(4)] \
-            + [f"Pred_{i}" for i in range(4)]
+        return [((f"Block_{i}",), None) for i in range(4)] \
+            + [((f"Pred_{i}",), None) for i in range(4)]
     g = int(model_cfg.get("growth_factor", 6)) - 1
     if name == "v2":
-        return [f"Block_{i}" for i in range(g)] \
-            + ["VortexPooling_0", "VortexPooling_1"] \
-            + [f"Pred_{i}" for i in range(g)]
+        return [((f"Block_{i}",), None) for i in range(g)] \
+            + [(("VortexPooling_0",), None), (("VortexPooling_1",), None)] \
+            + [((f"Pred_{i}",), None) for i in range(g)]
     # v3: tsdf head, optional semantic head, final vortex, preds
-    order = [f"Block_{i}" for i in range(g)] + ["VortexPooling_0"]
+    preds = [((f"Pred_{i}",), None) for i in range(g)]
     if use_sem:
-        order += [f"Block_{i}" for i in range(g, 2 * g)]
-        order += ["VortexPooling_1", "VortexPooling_2"]
-    else:
-        order += ["VortexPooling_1"]
-    order += [f"Pred_{i}" for i in range(g)]
-    return order
+        head = [(("DualHead_0", f"Block_{i}"),) for i in range(g)] \
+            + [(("DualHead_0", "VortexPooling_0"),)]
+        return ([(p[0], 0) for p in head] + [(p[0], 1) for p in head]
+                + [(("VortexPooling_0",), None)] + preds)
+    return [(("FusionHead_0", f"Block_{i}"), None) for i in range(g)] \
+        + [(("FusionHead_0", "VortexPooling_0"), None),
+           (("VortexPooling_0",), None)] + preds
 
 
 def _ordered_flax_layers(params, batch_stats, model_cfg):
-    """Group flax leaves into (module_path, kind, dict) in execution order:
-    top-level modules per the model config, and within each module
-    Conv_k followed by BatchNorm_k for ascending k (matching the
+    """Group flax leaves into (module_path, kind, dict, head) in execution
+    order: module path prefixes per the model config, and within each
+    module Conv_k followed by BatchNorm_k for ascending k (matching the
     conv->BN interleaving of the reference Sequentials).
-    kind: 'conv' (kernel[, bias]) or 'bn' (scale, bias, mean, var)."""
+    kind: 'conv' (kernel[, bias]) or 'bn' (scale, bias, mean, var);
+    head: slice index into a stacked head axis, or None."""
     leaves = _flatten_flax(params)
     stats = dict(_flatten_flax(batch_stats))
     by_module: Dict[Tuple[str, ...], Dict[str, Any]] = {}
     for path, leaf in leaves:
         by_module.setdefault(path[:-1], {})[path[-1]] = leaf
 
-    def module_layers(top: str):
+    def module_layers(prefix: Tuple[str, ...], head):
         convs = {}
         bns = {}
         for path, entry in by_module.items():
-            if not path or path[0] != top:
+            if path[:len(prefix)] != prefix:
                 continue
             idx = int(path[-1].rsplit("_", 1)[1])
             if path[-1].startswith("Conv"):
@@ -109,14 +115,14 @@ def _ordered_flax_layers(params, batch_stats, model_cfg):
         out = []
         for k in sorted(set(convs) | set(bns)):
             if k in convs:
-                out.append((convs[k][0], "conv", convs[k][1]))
+                out.append((convs[k][0], "conv", convs[k][1], head))
             if k in bns:
-                out.append((bns[k][0], "bn", bns[k][1]))
+                out.append((bns[k][0], "bn", bns[k][1], head))
         return out
 
     layers = []
-    for top in _fusionnet_module_order(model_cfg):
-        layers.extend(module_layers(top))
+    for prefix, head in _fusionnet_module_order(model_cfg):
+        layers.extend(module_layers(prefix, head))
     return layers
 
 
@@ -164,34 +170,45 @@ def convert_fusionnet_state_dict(torch_state: Dict[str, np.ndarray],
             f"layer count mismatch: flax has {n_f}, torch has {n_t} -- "
             "are model config (n_points/growth_factor/use_semantics) equal?")
 
-    new_params = jax.tree_util.tree_map(np.asarray, flax_params)
-    new_stats = jax.tree_util.tree_map(np.asarray, flax_batch_stats)
+    new_params = jax.tree_util.tree_map(np.array, flax_params)
+    new_stats = jax.tree_util.tree_map(np.array, flax_batch_stats)
 
-    def set_leaf(tree, path, value):
+    def set_leaf(tree, path, value, head):
         node = tree
         for p in path[:-1]:
             node = node[p]
         old = node[path[-1]]
-        if tuple(old.shape) != tuple(value.shape):
-            raise ValueError(f"shape mismatch at {'/'.join(path)}: "
-                             f"{old.shape} vs {value.shape}")
-        node[path[-1]] = value.astype(old.dtype)
+        if head is None:
+            if tuple(old.shape) != tuple(value.shape):
+                raise ValueError(f"shape mismatch at {'/'.join(path)}: "
+                                 f"{old.shape} vs {value.shape}")
+            node[path[-1]] = value.astype(old.dtype)
+        else:   # stacked head axis (leading dim = n heads)
+            if tuple(old.shape[1:]) != tuple(value.shape):
+                raise ValueError(
+                    f"shape mismatch at {'/'.join(path)}[{head}]: "
+                    f"{old.shape[1:]} vs {value.shape}")
+            old[head] = value.astype(old.dtype)
 
-    for (fpath, fkind, fentry), (tname, tkind, tentry) in zip(flax_layers,
-                                                              torch_layers):
+    for (fpath, fkind, fentry, fhead), (tname, tkind, tentry) in zip(
+            flax_layers, torch_layers):
         if fkind != tkind:
             raise ValueError(f"layer kind mismatch: {fpath} ({fkind}) vs "
                              f"{tname} ({tkind})")
         if fkind == "conv":
             w = np.transpose(tentry["weight"], (2, 3, 1, 0))  # OIHW->HWIO
-            set_leaf(new_params, fpath + ("kernel",), w)
+            set_leaf(new_params, fpath + ("kernel",), w, fhead)
             if "bias" in fentry and "bias" in tentry:
-                set_leaf(new_params, fpath + ("bias",), tentry["bias"])
+                set_leaf(new_params, fpath + ("bias",), tentry["bias"],
+                         fhead)
         else:
-            set_leaf(new_params, fpath + ("scale",), tentry["weight"])
-            set_leaf(new_params, fpath + ("bias",), tentry["bias"])
-            set_leaf(new_stats, fpath + ("mean",), tentry["running_mean"])
-            set_leaf(new_stats, fpath + ("var",), tentry["running_var"])
+            set_leaf(new_params, fpath + ("scale",), tentry["weight"],
+                     fhead)
+            set_leaf(new_params, fpath + ("bias",), tentry["bias"], fhead)
+            set_leaf(new_stats, fpath + ("mean",), tentry["running_mean"],
+                     fhead)
+            set_leaf(new_stats, fpath + ("var",), tentry["running_var"],
+                     fhead)
     return new_params, new_stats
 
 

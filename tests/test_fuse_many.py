@@ -90,3 +90,43 @@ def test_fuse_many_interleaved_scenes_keeps_chunking():
                                    np.asarray(ref[s].weights), atol=1e-4)
         np.testing.assert_allclose(np.asarray(db.volumes[s].num),
                                    np.asarray(ref[s].num), atol=1e-3)
+
+
+def test_fuse_many_through_prefetch_loader_preserves_order():
+    """The threaded PrefetchLoader (decode workers + bounded queue) must
+    deliver frames in index order so fuse_many's streamed result equals
+    the per-frame reference -- the host-IO-overlap path end to end
+    (SURVEY.md §2.6 DataLoader equivalent)."""
+    from segfusion_tpu.data.prefetch import PrefetchLoader, collate
+
+    cfg = small_config(use_semantics=False, semantics="class8")
+    cfg.DATA.semantic_grid = True
+    data = Synthetic(cfg.DATA)
+    db = Database(data, cfg.DATA)
+    pipe = Pipeline(cfg)
+    params, stats = pipe.init_fusion_params(jax.random.PRNGKey(0), 48, 48)
+
+    class SlowData:
+        """Simulates per-frame decode latency in the worker thread."""
+        def __len__(self):
+            return 6
+
+        def __getitem__(self, i):
+            import time
+            time.sleep(0.02)
+            return data[i]
+
+    db.reset()
+    for i in range(6):
+        pipe.fuse(_batch(data, i), db, params, stats)
+    s = data.scenes[0]
+    ref = db.volumes[s]
+
+    db.reset()
+    loader = PrefetchLoader(SlowData(), batch_size=1, shuffle=False,
+                            num_workers=2, prefetch=3)
+    pipe.fuse_many(loader, db, params, stats, chunk=4)
+    np.testing.assert_allclose(np.asarray(db.volumes[s].weights),
+                               np.asarray(ref.weights), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(db.volumes[s].num),
+                               np.asarray(ref.num), atol=1e-3)

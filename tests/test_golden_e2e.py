@@ -108,16 +108,32 @@ def _torch_batch(b):
     }
 
 
+@pytest.fixture
+def reference_on_path():
+    """Put the reference checkout on sys.path for the duration of the
+    test, then REMOVE it and purge reference-origin modules -- the
+    reference's top-level train_fusion.py etc. otherwise shadow this
+    repo's CLIs for any test that runs after this one."""
+    sys.path.insert(0, REF)
+    try:
+        yield
+    finally:
+        while REF in sys.path:
+            sys.path.remove(REF)
+        for name, mod in list(sys.modules.items()):
+            if getattr(mod, "__file__", None) and \
+                    str(getattr(mod, "__file__")).startswith(REF):
+                del sys.modules[name]
+
+
 @pytest.mark.slow
-def test_golden_e2e_matches_reference_pipeline():
+def test_golden_e2e_matches_reference_pipeline(reference_on_path):
     import torch
     import jax
     import jax.numpy as jnp
 
     import fake_torchvision
     fake_torchvision.install()
-    if REF not in sys.path:
-        sys.path.insert(0, REF)
     ref_pipeline_mod = importlib.import_module("modules.pipeline")
 
     from segfusion_tpu.core.database import Database

@@ -92,3 +92,36 @@ def test_reconcile_slot_pallas_matches_xla(shape):
     got_n, got_w = reconcile_slot_pallas(geo, L, interpret=True)
     np.testing.assert_array_equal(np.asarray(got_n), np.asarray(want_n))
     np.testing.assert_array_equal(np.asarray(got_w), np.asarray(want_w))
+
+
+@pytest.mark.parametrize("shape,max_ty", [((24, 20, 160), 448),
+                                          ((16, 17, 300), 448),
+                                          ((6, 8, 40), 4)])
+def test_reconcile_key_pallas_matches_xla(shape, max_ty):
+    """Bit-equal to the XLA key reconcile on fully random i32 slot
+    states; max_ty=4 forces NJ > 1 to cover the halo-DMA branch."""
+    from segfusion_tpu.ops.pallas.shadow_build import reconcile_key_pallas
+    from segfusion_tpu.ops.rowvol import _reconcile_key
+    L = rowvol.RowLayout.for_shape(shape)
+    rng = np.random.RandomState(3)
+    key = jnp.asarray(rng.randint(0, 2**31 - 1, (L.key_rows, 128),
+                                  dtype=np.int32))
+    want = jax.jit(_reconcile_key, static_argnums=1)(key, L)
+    got = reconcile_key_pallas(key, L, interpret=True, max_ty=max_ty)
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_reconcile_key_pallas_vmap_batches():
+    from segfusion_tpu.ops.pallas import shadow_build as sb
+    from segfusion_tpu.ops.rowvol import _reconcile_key
+    L = rowvol.RowLayout.for_shape((6, 8, 40))
+    rng = np.random.RandomState(4)
+    keys = jnp.asarray(rng.randint(0, 2**31 - 1, (3, L.key_rows, 128),
+                                   dtype=np.int32))
+    # interpret-mode batched call via the custom_vmap rule's fold
+    got = sb.reconcile_key_pallas(
+        keys.reshape(3 * L.key_rows, 128),
+        L._replace(X=3 * L.X), interpret=True).reshape(3, L.X, L.Y, L.Z)
+    want = jax.vmap(lambda k: _reconcile_key(k, L))(keys)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

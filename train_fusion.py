@@ -125,11 +125,35 @@ def train_fusion(args, config):
     log_freq = int(config.SETTINGS.log_freq)
     reset_cfg = config.TRAINING.optimization
 
+    # row-carry: per-scene slot state + packed gt shadow cached across
+    # chunks (the canonical<->slot conversions cost ~130 ms per chunk at
+    # 448^3; with carrying they're paid once per scene + at evals)
+    from segfusion_tpu.ops import rowvol as _rowvol
+    rowstate = {}
+    gt_shadows = {}
+
+    def train_rowstate(scene_id):
+        if scene_id not in rowstate:
+            vol = train_database.volumes[scene_id]
+            layout = _rowvol.RowLayout.for_shape(tuple(vol.num.shape))
+            rowstate[scene_id] = (layout,
+                                  pipeline._enter_rows(layout, vol))
+            if scene_id not in gt_shadows:
+                gt_shadows[scene_id] = pipeline._gt_shadow(
+                    layout, train_database.scenes_gt[scene_id])
+        return rowstate[scene_id]
+
+    def materialize_rowstate():
+        """Reflect carried row states into the database (kept carrying)."""
+        for sid, (layout, rv) in rowstate.items():
+            train_database.update(sid, pipeline._peek_rows(layout, rv))
+
     for epoch in range(start_epoch, int(config.TRAINING.n_epochs)):
         workspace.log(
             f"Training epoch {epoch}/{config.TRAINING.n_epochs}", "train")
         train_database.reset()
         val_database.reset()
+        rowstate.clear()
         train_loss = 0.0
 
         import jax.numpy as jnp
@@ -172,13 +196,22 @@ def train_fusion(args, config):
                 lambda *xs: jnp.stack(xs), *frames)
             rng, sub = jax.random.split(rng)
             rngs = jax.random.split(sub, accum)
-            volume = train_database.volumes[chunk_scene]
-            gt = train_database.scenes_gt[chunk_scene]
-            loss_sum, grads, new_volume, batch_stats = \
-                pipeline.train_sequence(params, batch_stats, volume, gt,
-                                        stacked, seg_params, rngs,
-                                        jnp.asarray(resets))
-            train_database.update(chunk_scene, new_volume)
+            if pipeline.row_path:
+                layout, rv = train_rowstate(chunk_scene)
+                loss_sum, grads, rv, batch_stats = \
+                    pipeline.train_sequence_rows(
+                        layout, params, batch_stats, rv,
+                        gt_shadows[chunk_scene], stacked, seg_params,
+                        rngs, jnp.asarray(resets))
+                rowstate[chunk_scene] = (layout, rv)
+            else:
+                volume = train_database.volumes[chunk_scene]
+                gt = train_database.scenes_gt[chunk_scene]
+                loss_sum, grads, new_volume, batch_stats = \
+                    pipeline.train_sequence(params, batch_stats, volume,
+                                            gt, stacked, seg_params, rngs,
+                                            jnp.asarray(resets))
+                train_database.update(chunk_scene, new_volume)
             params, opt_state = apply_updates(params, opt_state, grads)
             train_loss += float(loss_sum)
             chunk_frames = []
@@ -220,6 +253,7 @@ def train_fusion(args, config):
             if (i + 1) % eval_freq == 0 or i == n_batches - 1:
                 if use_sequence:
                     flush_chunk()  # apply pending grads before evaluating
+                    materialize_rowstate()
                 step = i + 1 + epoch * n_batches
                 train_eval = train_database.evaluate("train", workspace)
                 for k in ("mse", "acc", "iou", "mad"):
@@ -227,12 +261,9 @@ def train_fusion(args, config):
                                          step)
 
                 val_database.reset()
-                for vbatch in val_loader:
-                    if not np.all(np.isfinite(
-                            np.asarray(vbatch["extrinsics"]))):
-                        continue
-                    pipeline.fuse(vbatch, val_database, params, batch_stats,
-                                  seg_params=seg_params)
+                # chunked streaming (row-carried, host-IO overlapped)
+                pipeline.fuse_many(val_loader, val_database, params,
+                                   batch_stats, seg_params=seg_params)
                 val_database.filter(value=0.5)
                 val_eval = val_database.evaluate("val", workspace)
                 for k in ("mse", "acc", "iou", "mad"):
