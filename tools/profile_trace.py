@@ -107,25 +107,45 @@ def parse(outdir):
             tracks[(e["pid"], e["tid"])] = e["args"].get("name", "")
     optrack = {k for k, v in tracks.items()
                if "XLA Ops" in v or "Steps" not in v and "TensorFlow" in v}
-    agg = defaultdict(float)
-    total = 0.0
-    by_name = defaultdict(float)
+    # bucket complete events per track; nested spans (while bodies wrap
+    # their inner ops on the same track) must only count SELF time, so
+    # compute exclusive duration with an interval stack per track.
+    per_track = defaultdict(list)
     for e in events:
         if e.get("ph") != "X":
             continue
         key = (e.get("pid"), e.get("tid"))
         if optrack and key not in optrack:
             continue
-        name = e.get("name", "")
-        dur = e.get("dur", 0) / 1e3  # us -> ms
-        total += dur
-        by_name[name] += dur
-        for cat, pat in CATEGORIES:
-            if re.search(pat, name, re.I):
-                agg[cat] += dur
-                break
-        else:
-            agg["other"] += dur
+        per_track[key].append((e.get("ts", 0), e.get("dur", 0),
+                               e.get("name", "")))
+    agg = defaultdict(float)
+    total = 0.0
+    by_name = defaultdict(float)
+    for key, evs in per_track.items():
+        evs.sort(key=lambda t: (t[0], -t[1]))
+        stack = []  # [end_ts, child_sum, name, dur]
+        selfs = []
+        for ts, dur, name in evs:
+            while stack and ts >= stack[-1][0]:
+                end, child, nm, d = stack.pop()
+                selfs.append((nm, d - child))
+            if stack:
+                stack[-1][1] += dur
+            stack.append([ts + dur, 0.0, name, dur])
+        while stack:
+            end, child, nm, d = stack.pop()
+            selfs.append((nm, d - child))
+        for name, sdur in selfs:
+            dur = sdur / 1e3  # us -> ms
+            total += dur
+            by_name[name] += dur
+            for cat, pat in CATEGORIES:
+                if re.search(pat, name, re.I):
+                    agg[cat] += dur
+                    break
+            else:
+                agg["other"] += dur
     print(f"\ntotal op time on track: {total:.1f} ms")
     for cat, ms in sorted(agg.items(), key=lambda kv: -kv[1]):
         print(f"  {cat:24s} {ms:9.2f} ms  ({ms/max(total,1e-9)*100:5.1f}%)")

@@ -42,6 +42,11 @@ def train_fusion(args, config):
     np.random.seed(seed)
     rng = jax.random.PRNGKey(seed)
 
+    # multi-host (DCN) scene sharding, off by default -- see
+    # parallel/multihost.py for the design
+    from segfusion_tpu.parallel import multihost
+    multihost.initialize(config)
+
     workspace = get_workspace(config)
     workspace.log(f"comment: {args.get('comment', '')}", "train")
 

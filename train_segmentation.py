@@ -62,6 +62,11 @@ def train(args, config):
     np.random.seed(seed)
     rng = jax.random.PRNGKey(seed)
 
+    # multi-host (DCN) data sharding, off by default -- see
+    # parallel/multihost.py for the design
+    from segfusion_tpu.parallel import multihost
+    multihost.initialize(config)
+
     config.DATA.target_key = config.DATA.get("target_seg", "semantic_gt")
     workspace = get_workspace(config)
     model_cfg = config.SEMANTIC_2D_MODEL
