@@ -230,18 +230,21 @@ class FusionNetV3(nn.Module):
     concatenated -> third Vortex -> pred stack.
 
     TPU note: with semantics on, the two architecturally identical heads
-    run STACKED via a lifted vmap over a leading head axis -- jax lowers
-    the vmapped convs to single feature-grouped convs, halving the head
-    op count. Small-channel tensors here pad to 128 lanes regardless of
-    C, so per-op padded traffic (not FLOPs) dominates FusionNet cost
-    (tools/profile_trace.py: FusionNet 15.1 ms/frame vs the 2x-ResNet-50
-    AdapNet's 1.9 at 256^2); head params gain a leading axis of 2
-    (utils/torch_convert stacks the reference's per-head weights)."""
+    can run STACKED via a lifted vmap over a leading head axis
+    (``stack_heads``); head params gain a leading axis of 2
+    (utils/torch_convert stacks the reference's per-head weights).
+    Measured on the v5e relay the stacking is a LOSS: the vmapped convs
+    lower to feature-grouped convs whose head-leading layouts cost
+    ~1.5 ms/op and force ~0.9 ms bias-add relayouts (24 of the net
+    stage's 28 conv-ms, tools/profile_trace.py), while the same convs
+    unstacked take XLA's fast blocked spatial layout (30-150 us/op,
+    like AdapNet's). Default is therefore unstacked."""
     n_points: int = 9
     use_semantics: bool = False
     output_scale: float = 1.0
     growth_factor: int = 6
     dtype: Any = None
+    stack_heads: bool = False
 
     @nn.compact
     def __call__(self, data: Dict[str, jnp.ndarray], train: bool = False):
@@ -251,7 +254,7 @@ class FusionNetV3(nn.Module):
 
         x_tsdf = _cat_inputs(data, ["tsdf_values", "tsdf_weights",
                                     "tsdf_frame"])
-        if self.use_semantics:
+        if self.use_semantics and self.stack_heads:
             x_sem = _cat_inputs(data, ["tsdf_values", "tsdf_weights",
                                        "semantic_frame"])
             xh = jnp.stack([x_tsdf, x_sem], axis=0)   # (2, B, H, W, C)
@@ -266,6 +269,14 @@ class FusionNetV3(nn.Module):
             yh = DualHead(n_ch, gf, pool_in, dtype=self.dtype,
                           name="DualHead_0")(xh, train)
             y = jnp.concatenate([yh[0], yh[1]], axis=-1)
+        elif self.use_semantics:
+            x_sem = _cat_inputs(data, ["tsdf_values", "tsdf_weights",
+                                       "semantic_frame"])
+            y_t = FusionHead(n_ch, gf, pool_in, dtype=self.dtype,
+                             name="head_tsdf")(x_tsdf, train=train)
+            y_s = FusionHead(n_ch, gf, pool_in, dtype=self.dtype,
+                             name="head_sem")(x_sem, train=train)
+            y = jnp.concatenate([y_t, y_s], axis=-1)
         else:
             y = FusionHead(n_ch, gf, pool_in, dtype=self.dtype,
                            name="FusionHead_0")(x_tsdf, train=train)
@@ -295,5 +306,8 @@ def build_fusion_net(config: Any) -> nn.Module:
     if name == "v2":
         return FusionNetV2(growth_factor=config.growth_factor, **kwargs)
     if name == "v3":
-        return FusionNetV3(growth_factor=config.growth_factor, **kwargs)
+        return FusionNetV3(growth_factor=config.growth_factor,
+                           stack_heads=bool(config.get("stack_heads",
+                                                       False)),
+                           **kwargs)
     raise ValueError(f"unknown fusion model {name!r}")

@@ -47,10 +47,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _pick_ty(Y: int, max_ty: int = 56) -> int:
-    for ty in range(min(max_ty, Y), 0, -1):
-        if Y % ty == 0:
-            return ty
-    return 1
+    """Kept in sync with rowvol.pick_ty (the dirty-tile mask must use the
+    same tiling as the kernels; rowvol imports this module lazily, so the
+    single definition lives there)."""
+    from ..rowvol import pick_ty
+    return pick_ty(Y, max_ty)
 
 
 def _pack16(num, w):
@@ -72,8 +73,10 @@ def _pack16(num, w):
     return jax.lax.bitcast_convert_type(nr | wr, jnp.uint32)
 
 
-def _kernel(geo_hbm, out_ref, slab, sem, *, TY, Y, G, GK, NJ, N, interp):
-    """Full-128-lane formulation. The first version of this kernel sliced
+def _shadow_tile_compute(v_all, *, TY, G, GK):
+    """One tile's reconcile -> pack -> 4-component assembly: slab values
+    (TY + 2, G, 128) -> packed shadow tile (TY * GK, 128). Full-128-lane
+    formulation. The first version of this kernel sliced
     P down to its 16 valid lanes and assembled the output with 8 narrow
     16-lane stores -- Mosaic pads sub-128-lane values to full vregs, so
     every P op ran at 1/8 lane efficiency and the kernel was
@@ -90,29 +93,6 @@ def _kernel(geo_hbm, out_ref, slab, sem, *, TY, Y, G, GK, NJ, N, interp):
         identical between Mosaic's compiled rotate and interpret mode
         (tools/probe_shadow_debug.py)."""
         return pltpu.roll(t, s, t.ndim - 1)
-
-    x = pl.program_id(0)
-    j = pl.program_id(1)
-    i = x * NJ + j
-    SLAB = (TY + 2) * G
-
-    def dma(idx, s):
-        xx = idx // NJ
-        jj = idx - xx * NJ
-        start = (xx * (Y + 2) + jj * TY) * G
-        return pltpu.make_async_copy(
-            geo_hbm.at[pl.ds(start, SLAB), :], slab.at[s], sem.at[s])
-
-    @pl.when(i == 0)
-    def _():
-        dma(0, 0).start()
-
-    @pl.when(i + 1 < N)
-    def _():
-        dma(i + 1, (i + 1) % 2).start()
-
-    dma(i, i % 2).wait()
-    v_all = slab[i % 2].reshape(TY + 2, G, 128)
     Gp = 2 * GK
     if G < Gp:   # odd group count: the last gk's odd half is zero
         v_all = jnp.concatenate(
@@ -178,7 +158,35 @@ def _kernel(geo_hbm, out_ref, slab, sem, *, TY, Y, G, GK, NJ, N, interp):
 
     lo = jax.lax.broadcasted_iota(jnp.int32, (TY, GK, 128), 2)
     out = jnp.where(lo < 64, P[:TY], roll(P[1:], 64))
-    out_ref[0] = out.reshape(TY * GK, 128)
+    return out.reshape(TY * GK, 128)
+
+
+def _kernel(geo_hbm, out_ref, slab, sem, *, TY, Y, G, GK, NJ, N, interp):
+    """Full-rebuild kernel: grid (x, y-tile), double-buffered halo DMA,
+    blocked output spec (see _shadow_tile_compute for the math)."""
+    x = pl.program_id(0)
+    j = pl.program_id(1)
+    i = x * NJ + j
+    SLAB = (TY + 2) * G
+
+    def dma(idx, s):
+        xx = idx // NJ
+        jj = idx - xx * NJ
+        start = (xx * (Y + 2) + jj * TY) * G
+        return pltpu.make_async_copy(
+            geo_hbm.at[pl.ds(start, SLAB), :], slab.at[s], sem.at[s])
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(i + 1 < N)
+    def _():
+        dma(i + 1, (i + 1) % 2).start()
+
+    dma(i, i % 2).wait()
+    out_ref[0] = _shadow_tile_compute(
+        slab[i % 2].reshape(TY + 2, G, 128), TY=TY, G=G, GK=GK)
 
 
 def build_shadow_pallas(geo: jnp.ndarray, layout, interpret: bool = False,
@@ -200,6 +208,114 @@ def build_shadow_pallas(geo: jnp.ndarray, layout, interpret: bool = False,
                         pltpu.SemaphoreType.DMA((2,))],
         interpret=interpret,
     )(geo)
+    return out.reshape(L.shadow_rows, 128)
+
+
+def _dirty_kernel(dirty_ref, geo_hbm, prev_hbm, out_hbm, slab, outbuf,
+                  insem, outsem, cnt, *, TY, Y, G, GK, NJ, N):
+    """Dirty-tile shadow rebuild: like _kernel, but a tile whose
+    ``dirty`` flag is 0 is SKIPPED entirely (no DMA, no compute, no
+    store) -- ``prev_hbm`` is aliased into ``out_hbm``, so skipped tiles
+    keep their previous content. Output is written through a
+    double-buffered VMEM scratch with manual DMA (a blocked out_spec
+    would clobber clean tiles). ``dirty`` has N + 1 entries (trailing 0
+    sentinel) and is scalar-prefetched into SMEM. ``cnt`` (SMEM) counts
+    issued output copies; out slots alternate by count so consecutive
+    dirty tiles double-buffer even when their grid parities collide."""
+    del prev_hbm  # aliased into out_hbm; only its unchanged tiles matter
+    x = pl.program_id(0)
+    j = pl.program_id(1)
+    i = x * NJ + j
+    SLAB = (TY + 2) * G
+
+    def in_dma(idx, s):
+        xx = idx // NJ
+        jj = idx - xx * NJ
+        start = (xx * (Y + 2) + jj * TY) * G
+        return pltpu.make_async_copy(
+            geo_hbm.at[pl.ds(start, SLAB), :], slab.at[s], insem.at[s])
+
+    def out_dma(idx, s):
+        xx = idx // NJ
+        jj = idx - xx * NJ
+        return pltpu.make_async_copy(
+            outbuf.at[s],
+            out_hbm.at[xx, pl.ds(jj * TY * GK, TY * GK), :],
+            outsem.at[s])
+
+    @pl.when(i == 0)
+    def _():
+        cnt[0] = 0
+
+        @pl.when(dirty_ref[0] != 0)
+        def _():
+            in_dma(0, 0).start()
+
+    @pl.when((i + 1 < N) & (dirty_ref[i + 1] != 0))
+    def _():
+        in_dma(i + 1, (i + 1) % 2).start()
+
+    @pl.when(dirty_ref[i] != 0)
+    def _():
+        in_dma(i, i % 2).wait()
+        out = _shadow_tile_compute(
+            slab[i % 2].reshape(TY + 2, G, 128), TY=TY, G=G, GK=GK)
+        c = cnt[0]
+        so = c % 2
+
+        @pl.when(c >= 2)   # copy c-2 used this slot; drain before reuse
+        def _():
+            out_dma(i, so).wait()
+
+        outbuf[so] = out
+        out_dma(i, so).start()
+        cnt[0] = c + 1
+
+    @pl.when(i == N - 1)   # drain the (up to two) outstanding copies
+    def _():
+        c = cnt[0]
+
+        @pl.when(c >= 2)
+        def _():
+            out_dma(i, c % 2).wait()
+
+        @pl.when(c >= 1)
+        def _():
+            out_dma(i, (c - 1) % 2).wait()
+
+
+def build_shadow_dirty_pallas(geo: jnp.ndarray, prev_shadow: jnp.ndarray,
+                              dirty: jnp.ndarray, layout,
+                              interpret: bool = False,
+                              max_ty: int = 56) -> jnp.ndarray:
+    """Pallas implementation of ``rowvol.build_shadow_dirty``:
+    ``prev_shadow`` is donated/aliased into the output; only tiles with a
+    nonzero ``dirty`` flag are recomputed from ``geo``. ``dirty`` is
+    (X * NJ + 1,) i32 (rowvol.dirty_tile_mask)."""
+    L = layout
+    X, Y, G, GK = L.X, L.Y, L.G, L.GK
+    TY = _pick_ty(Y, max_ty)
+    NJ = Y // TY
+    out = pl.pallas_call(
+        functools.partial(_dirty_kernel, TY=TY, Y=Y, G=G, GK=GK, NJ=NJ,
+                          N=X * NJ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(X, NJ),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((2, (TY + 2) * G, 128), jnp.float32),
+                pltpu.VMEM((2, TY * GK, 128), jnp.uint32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SMEM((1,), jnp.int32),
+            ]),
+        out_shape=jax.ShapeDtypeStruct((X, Y * GK, 128), jnp.uint32),
+        input_output_aliases={2: 0},   # prev_shadow (after scalars) -> out
+        interpret=interpret,
+    )(dirty, geo, prev_shadow.reshape(X, Y * GK, 128))
     return out.reshape(L.shadow_rows, 128)
 
 
@@ -426,6 +542,35 @@ def _shadow_fn(layout):
         return out.reshape(axis_size, layout.shadow_rows, 128), True
 
     return f
+
+
+@_ft.lru_cache(maxsize=None)
+def _shadow_dirty_fn(layout):
+    @jax.custom_batching.custom_vmap
+    def f(geo, prev_shadow, dirty):
+        return build_shadow_dirty_pallas(geo, prev_shadow, dirty, layout)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, geo, prev_shadow, dirty):
+        from .. import rowvol as _rv
+        S = axis_size
+        Lb = _batched_layout(layout, S)
+        _, NJ = _rv.shadow_tiling(layout)
+        nt = layout.X * NJ
+        dirty_b = jnp.concatenate(
+            [dirty[:, :nt].reshape(-1), jnp.zeros((1,), jnp.int32)])
+        out = build_shadow_dirty_pallas(
+            geo.reshape(S * layout.geo_rows, 128),
+            prev_shadow.reshape(S * layout.shadow_rows, 128),
+            dirty_b, Lb)
+        return out.reshape(S, layout.shadow_rows, 128), True
+
+    return f
+
+
+def build_shadow_dirty_pallas_v(geo, prev_shadow, dirty, layout):
+    """vmappable entry point (see the custom_vmap note above)."""
+    return _shadow_dirty_fn(layout)(geo, prev_shadow, dirty)
 
 
 @_ft.lru_cache(maxsize=None)

@@ -56,8 +56,9 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["RowLayout", "RowVolume", "rows_from_volume", "volume_from_rows",
-           "build_shadow", "shadow_from_canonical", "corner_rows",
-           "extract_rows", "integrate_rows"]
+           "build_shadow", "build_shadow_dirty", "shadow_from_canonical",
+           "corner_rows", "extract_rows", "integrate_rows", "pick_ty",
+           "shadow_tiling", "dirty_tile_mask"]
 
 # transient-memory targets for the chunked per-frame passes (rays/chunk).
 # Chunking the integrate is EXPENSIVE: every extra scatter-op pair costs a
@@ -281,6 +282,106 @@ def build_shadow(geo, layout: RowLayout, impl: Optional[str] = None
         return build_shadow_pallas_v(geo, layout)
     num, w = _reconcile_slot(geo, layout)
     return shadow_from_canonical(num, w, layout)
+
+
+def pick_ty(Y: int, max_ty: int = 56) -> int:
+    """Shadow-kernel y-tile height: the largest divisor of Y <= max_ty
+    (shared by the Pallas kernel grid and the dirty-tile mask)."""
+    for ty in range(min(max_ty, Y), 0, -1):
+        if Y % ty == 0:
+            return ty
+    return 1
+
+
+def shadow_tiling(layout: RowLayout) -> Tuple[int, int]:
+    """(TY, NJ): shadow-build y-tile height and tile count."""
+    ty = pick_ty(layout.Y)
+    return ty, layout.Y // ty
+
+
+def dirty_tile_mask(points_v: jnp.ndarray, layout: RowLayout,
+                    tile_px: int = 8) -> jnp.ndarray:
+    """(X * NJ + 1,) i32 conservative dirty mask over shadow-build tiles
+    (x-slab, y-tile) for ONE frame's integration footprint.
+
+    A shadow tile is stale next frame iff this frame's scatter touched a
+    geo row its slab reads. The scatter rows derive from ``corner_rows``
+    of exactly these ``points_v`` -- corner x in [floor(px)-1,
+    floor(px)+1], y_lo in [floor(py)-1, floor(py)], and tile (x, j)'s
+    slab reads physical y_lo in [j*TY-1, j*TY+TY] -- so per-image-tile
+    min/max of the raw sample coordinates, padded by 1 voxel (+1 slack),
+    bound every touched row: the mask is conservative AT THE BIT LEVEL
+    (masked/degenerate rays are included -- their zero-weight scatters
+    still target rows derived from the same coordinates). Trailing
+    element is a 0 sentinel so the kernel can read dirty[i + 1]
+    unconditionally.
+
+    ``points_v`` is (n, p, 3) with n = h*w rays in image scan order;
+    the reduction granularity is ``tile_px`` x ``tile_px`` image tiles
+    (the (x, j) rasterisation is an (X, T) x (T, NJ) bool-matmul, tiny
+    next to the volume passes it gates)."""
+    L = layout
+    TY, NJ = shadow_tiling(L)
+    n, p, _ = points_v.shape
+    # n = h*w with h == w not guaranteed; infer the image height from the
+    # caller-invariant that rays are h*w in scan order. The reduction only
+    # needs SOME tiling of the ray axis; use flat 1-D tiles of
+    # tile_px*tile_px consecutive rays (same conservativeness, no need
+    # for the true 2-D image layout).
+    tt = tile_px * tile_px
+    t_cnt = _cdiv(n, tt)
+    pad_n = t_cnt * tt - n
+    px = points_v[..., 0].reshape(-1)
+    py = points_v[..., 1].reshape(-1)
+    if pad_n:
+        px = jnp.concatenate([px, jnp.full((pad_n * p,), px[-1])])
+        py = jnp.concatenate([py, jnp.full((pad_n * p,), py[-1])])
+    px = px.reshape(t_cnt, tt * p)
+    py = py.reshape(t_cnt, tt * p)
+    xmin = jnp.floor(jnp.min(px, axis=1)) - 2.0
+    xmax = jnp.floor(jnp.max(px, axis=1)) + 2.0
+    ymin = jnp.floor(jnp.min(py, axis=1)) - 2.0
+    ymax = jnp.floor(jnp.max(py, axis=1)) + 1.0
+    # clip into the clamped corner range (corners are clipped into the
+    # volume, so out-of-volume samples land on the border slabs)
+    xmin = jnp.clip(xmin, 0, L.X - 1)
+    xmax = jnp.clip(xmax, 0, L.X - 1)
+    ymin = jnp.clip(ymin, -1, L.Y - 1)
+    ymax = jnp.clip(ymax, -1, L.Y - 1)
+
+    xs = jnp.arange(L.X, dtype=jnp.float32)
+    xok = ((xs[None, :] >= xmin[:, None]) &
+           (xs[None, :] <= xmax[:, None]))               # (T, X)
+    j0 = jnp.arange(NJ, dtype=jnp.float32) * TY
+    jok = ((j0[None, :] + TY >= ymin[:, None]) &
+           (j0[None, :] - 1 <= ymax[:, None]))           # (T, NJ)
+    mask = jnp.einsum("tx,tj->xj", xok.astype(jnp.float32),
+                      jok.astype(jnp.float32),
+                      preferred_element_type=jnp.float32) > 0
+    flat = mask.reshape(-1).astype(jnp.int32)
+    return jnp.concatenate([flat, jnp.zeros((1,), jnp.int32)])
+
+
+def build_shadow_dirty(geo, prev_shadow, dirty, layout: RowLayout,
+                       impl: Optional[str] = None) -> jnp.ndarray:
+    """Incremental ``build_shadow``: rebuild only the tiles whose inputs
+    changed since ``prev_shadow`` was built (``dirty`` from
+    ``dirty_tile_mask`` of the LAST integrated frame; conservative), keep
+    the rest of ``prev_shadow``. ``prev_shadow`` is consumed (the Pallas
+    kernel aliases it into the output; donate it). A full rebuild is
+    ``dirty`` all ones with any ``prev_shadow``."""
+    if impl is None:
+        impl = _impl_for(geo)
+    if impl == "pallas":
+        from .pallas.shadow_build import build_shadow_dirty_pallas_v
+        return build_shadow_dirty_pallas_v(geo, prev_shadow, dirty, layout)
+    L = layout
+    TY, NJ = shadow_tiling(L)
+    new = build_shadow(geo, L, impl=impl)
+    sel = dirty[:L.X * NJ].reshape(L.X, NJ, 1, 1) != 0
+    out = jnp.where(sel, new.reshape(L.X, NJ, TY * L.GK, 128),
+                    prev_shadow.reshape(L.X, NJ, TY * L.GK, 128))
+    return out.reshape(L.shadow_rows, 128)
 
 
 def shadow_from_canonical(num, w, layout: RowLayout) -> jnp.ndarray:

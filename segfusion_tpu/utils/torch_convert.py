@@ -75,10 +75,16 @@ def _fusionnet_module_order(model_cfg) -> List[tuple]:
             + [((f"Pred_{i}",), None) for i in range(g)]
     # v3: tsdf head, optional semantic head, final vortex, preds
     preds = [((f"Pred_{i}",), None) for i in range(g)]
-    if use_sem:
+    if use_sem and model_cfg.get("stack_heads", False):
         head = [(("DualHead_0", f"Block_{i}"),) for i in range(g)] \
             + [(("DualHead_0", "VortexPooling_0"),)]
         return ([(p[0], 0) for p in head] + [(p[0], 1) for p in head]
+                + [(("VortexPooling_0",), None)] + preds)
+    if use_sem:
+        def head(nm):
+            return [((nm, f"Block_{i}"), None) for i in range(g)] \
+                + [((nm, "VortexPooling_0"), None)]
+        return (head("head_tsdf") + head("head_sem")
                 + [(("VortexPooling_0",), None)] + preds)
     return [(("FusionHead_0", f"Block_{i}"), None) for i in range(g)] \
         + [(("FusionHead_0", "VortexPooling_0"), None),
