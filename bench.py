@@ -159,21 +159,31 @@ def _stream_rows(pipe, params_stats, volume, frames, seg_params,
         lambda x: jnp.concatenate([x] * reps, axis=0), frames)
     sum_w = jax.jit(lambda v: jnp.sum(v.weights))
 
+    def enter(volume):
+        """Enter rows and CONSUME the canonical volume (the bench never
+        reads it again before exit; keeping it alive costs 1.1 GB at
+        448^3 next to the carried slot+shadow state)."""
+        stream = pipe._new_stream(layout, pipe._enter_rows(layout, volume))
+        jax.block_until_ready(stream.rv.geo)
+        for buf in (volume.num, volume.weights, volume.semkey):
+            buf.delete()
+        return stream
+
     layout = rowvol.RowLayout.for_shape(tuple(volume.num.shape))
-    rv = pipe._enter_rows(layout, volume)
+    stream = enter(volume)
     note("bench: compiling fused scan step...")
-    rv = pipe.fuse_sequence_rows(layout, params_stats, rv, stacked,
-                                 seg_params)
-    volume = pipe._exit_rows(layout, rv)
+    stream = pipe.fuse_sequence_rows(layout, params_stats, stream, stacked,
+                                     seg_params)
+    volume = pipe._exit_rows(layout, pipe._drop_carry(stream))
     float(sum_w(volume))
     note("bench: warmup done, timing...")
 
-    rv = pipe._enter_rows(layout, volume)
+    stream = enter(volume)
     t0 = time.perf_counter()
     for _ in range(n_chunks):
-        rv = pipe.fuse_sequence_rows(layout, params_stats, rv, stacked,
-                                     seg_params)
-    volume = pipe._exit_rows(layout, rv)
+        stream = pipe.fuse_sequence_rows(layout, params_stats, stream,
+                                         stacked, seg_params)
+    volume = pipe._exit_rows(layout, pipe._drop_carry(stream))
     float(sum_w(volume))
     dt = time.perf_counter() - t0
     return n_chunks * chunk_frames / dt, volume

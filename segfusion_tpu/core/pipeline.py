@@ -19,7 +19,7 @@ modules/pipeline.py:145-153 breaks XLA).
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +31,21 @@ from ..ops import rowvol
 from .volume import SceneVolume
 
 __all__ = ["Pipeline", "FusionOutput"]
+
+
+class RowStream(NamedTuple):
+    """Row-path streaming state carried across frames and chunks: the
+    slot volume plus the dirty-shadow carry -- ``shadow`` is the gather
+    shadow USED for the last processed frame (built from the geo state
+    before that frame's integration) and ``dirty`` that frame's
+    integration-footprint tile mask (rowvol.dirty_tile_mask), so the next
+    frame rebuilds only the stale tiles (rowvol.build_shadow_dirty).
+    ``shadow``/``dirty`` are None when the carry is disabled
+    (SETTINGS.dirty_shadow: off); bit-identical either way (the mask is
+    conservative, tests/test_shadow_dirty.py)."""
+    rv: rowvol.RowVolume
+    shadow: Optional[jnp.ndarray]   # (shadow_rows, 128) u32 or None
+    dirty: Optional[jnp.ndarray]    # (X * NJ + 1,) i32 or None
 
 
 class FusionOutput(NamedTuple):
@@ -99,6 +114,12 @@ class Pipeline:
         # backend (rowvol._impl_for). Set when jitting for a non-default
         # backend.
         self.rows_impl = config.SETTINGS.get("rows_impl", None)
+        # dirty-shadow carry: sequence scans rebuild only the shadow
+        # tiles the previous frame's integration touched
+        # (rowvol.build_shadow_dirty; bit-identical, the mask is
+        # conservative). Disable with SETTINGS.dirty_shadow: off
+        self.dirty_shadow = self.row_path and config.SETTINGS.get(
+            "dirty_shadow", "on") != "off"
 
         self.fusion_net = build_fusion_net(config.FUSION_MODEL)
         # segmenter: optional object with .apply_fn(params, image, depth)
@@ -208,8 +229,8 @@ class Pipeline:
         volumes."""
         if self.row_path:
             layout, rv = self._rows_from_volume(volume)
-            rv = self.step_fuse_rows_impl(params_and_stats, layout, rv,
-                                          frame, seg_params)
+            rv, _ = self.step_fuse_rows_impl(params_and_stats, layout, rv,
+                                             frame, seg_params)
             return self._volume_from_rows(rv, layout)
         params, batch_stats = params_and_stats
         depth = frame["depth"]
@@ -287,6 +308,12 @@ class Pipeline:
     def _exit_rows_impl(self, layout, rv: rowvol.RowVolume) -> SceneVolume:
         return self._volume_from_rows(rv, layout)
 
+    # The donation here always triggers XLA's "donated buffers were not
+    # usable" warning: geo/key can never alias the differently-shaped
+    # canonical outputs. It is still load-bearing -- it invalidates the
+    # caller's row-state references so the ~4.3 GB slot state (448^3)
+    # frees as soon as the exit reconcile is done, instead of surviving
+    # in rowstate dicts while the canonical volume materialises.
     _exit_rows = functools.partial(jax.jit, static_argnums=(0, 1),
                                    donate_argnums=(2,))(_exit_rows_impl)
 
@@ -295,13 +322,65 @@ class Pipeline:
     _peek_rows = functools.partial(jax.jit,
                                    static_argnums=(0, 1))(_exit_rows_impl)
 
+    def _new_stream(self, layout, rv: rowvol.RowVolume) -> RowStream:
+        """Fresh streaming state: an all-dirty mask over a zero shadow,
+        so the first frame of the stream rebuilds every tile (= a full
+        build). With the carry disabled the shadow/dirty slots are None
+        and every frame rebuilds fully."""
+        if not self.dirty_shadow:
+            return RowStream(rv, None, None)
+        _, NJ = rowvol.shadow_tiling(layout)
+        nt = layout.X * NJ
+        shadow = jnp.zeros((layout.shadow_rows, 128), jnp.uint32)
+        dirty = jnp.concatenate([jnp.ones((nt,), jnp.int32),
+                                 jnp.zeros((1,), jnp.int32)])
+        return RowStream(rv, shadow, dirty)
+
+    @staticmethod
+    def _drop_carry(stream: RowStream) -> rowvol.RowVolume:
+        """Free the dead dirty-shadow carry before an exit
+        materialisation. The carried shadow is 1.4 GB at 448^3 and unused
+        once the stream ends; HBM headroom during the exit reconcile is
+        tight (the exit OOMs with it alive, /tmp/bench_head.log). Blocks
+        on the slot state first so the deletes land after the last chunk
+        completes."""
+        if stream.shadow is not None:
+            # scalar readback, not block_until_ready: the axon relay's
+            # block_until_ready returns before enqueued work completes
+            # (CLAUDE.md), and deleting a buffer a pending program reads
+            # must wait for the real completion
+            float(stream.rv.geo[0, 0])
+            stream.shadow.delete()
+            stream.dirty.delete()
+        return stream.rv
+
+    @staticmethod
+    def _reset_stream(stream: RowStream) -> RowStream:
+        """Zero the scene state mid-scan (training resets): a zero geo
+        state's shadow is all-zero bits (pack16_numw(0, 0) == 0), so the
+        carried shadow resets to zeros with a CLEAN dirty mask -- no
+        rebuild needed on the next frame for reset tiles."""
+        rv = stream.rv._replace(geo=jnp.zeros_like(stream.rv.geo),
+                                key=jnp.zeros_like(stream.rv.key))
+        if stream.shadow is None:
+            return RowStream(rv, None, None)
+        return RowStream(rv, jnp.zeros_like(stream.shadow),
+                         jnp.zeros_like(stream.dirty))
+
     def _row_frontend(self, layout, rv: rowvol.RowVolume, frame,
-                      seg_params, stop_sem_grad: bool = False):
+                      seg_params, stop_sem_grad: bool = False,
+                      shadow_carry=None):
         """Shared row-path front end: semantic prediction, ray sampling,
         shadow build + extraction, fusion-net input packing. Everything
         here is constant w.r.t. the fusion params (extraction feeds the
         net and the loss as data), so the training step keeps it outside
-        the autodiff trace."""
+        the autodiff trace.
+
+        ``shadow_carry`` is the optional ``(prev_shadow, dirty)`` pair
+        from the LAST processed frame (RowStream): when given, only the
+        dirty tiles are rebuilt and the returned carry ``(shadow,
+        new_dirty)`` feeds the next frame; when None a full rebuild runs
+        and the returned carry is None."""
         depth = frame["depth"]
         filtered = jnp.where(frame["mask"], depth, 0.0)
 
@@ -324,7 +403,15 @@ class Pipeline:
         points_v, _ = geometry.sample_ray_points(
             points_w, eye_w, rv.origin, rv.resolution, self.n_points)
         cr = rowvol.corner_rows(points_v, layout)
-        shadow = rowvol.build_shadow(rv.geo, layout, impl=self.rows_impl)
+        if shadow_carry is not None:
+            prev_shadow, dirty = shadow_carry
+            shadow = rowvol.build_shadow_dirty(rv.geo, prev_shadow, dirty,
+                                               layout, impl=self.rows_impl)
+            new_carry = (shadow, rowvol.dirty_tile_mask(points_v, layout))
+        else:
+            shadow = rowvol.build_shadow(rv.geo, layout,
+                                         impl=self.rows_impl)
+            new_carry = None
         fv, fw = rowvol.extract_rows(shadow, cr, self.init_value,
                                      geometry.INVALID_TSDF_FILL)
 
@@ -338,18 +425,21 @@ class Pipeline:
             sem = (1.0 + sem_ids.reshape(depth.shape).astype(jnp.float32)
                    ) / self.n_classes
             inputs["semantic_frame"] = sem.reshape(1, h, w, 1)
-        return cr, fv, fw, inputs, sem_ids, scores, filtered
+        return cr, fv, fw, inputs, sem_ids, scores, filtered, new_carry
 
     def step_fuse_rows_impl(self, params_and_stats, layout,
-                            rv: rowvol.RowVolume, frame, seg_params
-                            ) -> rowvol.RowVolume:
+                            rv: rowvol.RowVolume, frame, seg_params,
+                            shadow_carry=None):
         """Inference step over the row-layout state: 2 row gathers + 1
         512-lane scatter-add + 1 256-lane scatter-max per (ray, sample)
         replace the flat path's 8/16/8 scalar random accesses. Same
-        pipeline semantics as :meth:`step_fuse_impl`."""
+        pipeline semantics as :meth:`step_fuse_impl`. Returns
+        ``(new_rv, new_shadow_carry)`` (carry None iff ``shadow_carry``
+        was None -- see :meth:`_row_frontend`)."""
         params, batch_stats = params_and_stats
-        cr, _, _, inputs, sem_ids, scores, filtered = self._row_frontend(
-            layout, rv, frame, seg_params)
+        cr, _, _, inputs, sem_ids, scores, filtered, new_carry = \
+            self._row_frontend(layout, rv, frame, seg_params,
+                               shadow_carry=shadow_carry)
         tsdf_est, _ = self._network_estimate(params, batch_stats, inputs,
                                              train=False, rng=None)
 
@@ -361,11 +451,11 @@ class Pipeline:
                    if self.semantics else None)
         new_geo, new_key = rowvol.integrate_rows(
             rv.geo, rv.key, cr, upd_values, sem_key, ray_mask, t)
-        return rv._replace(geo=new_geo, key=new_key)
+        return rv._replace(geo=new_geo, key=new_key), new_carry
 
     def step_train_rows_impl(self, params, batch_stats, layout,
                              rv: rowvol.RowVolume, gt_shadow, frame,
-                             seg_params, rng):
+                             seg_params, rng, shadow_carry=None):
         """Training step over the row-layout state -- the slot-layout
         port of :meth:`step_train_impl` (reference Pipeline.fuse_training,
         modules/pipeline.py:251-363). The gt target extraction reads a
@@ -375,9 +465,11 @@ class Pipeline:
         through the FusionNet forward: extraction/shadow (incl. the
         Pallas kernel) stay outside the autodiff trace, and the volume
         update integrates stop_gradient'ed estimates (truncated BPTT
-        length 1, reference modules/pipeline.py:360-361)."""
-        cr, fv, fw, inputs, _, _, filtered = self._row_frontend(
-            layout, rv, frame, seg_params, stop_sem_grad=True)
+        length 1, reference modules/pipeline.py:360-361). Returns
+        ``(loss, grads, new_rv, new_stats, new_shadow_carry)``."""
+        cr, fv, fw, inputs, _, _, filtered, new_carry = self._row_frontend(
+            layout, rv, frame, seg_params, stop_sem_grad=True,
+            shadow_carry=shadow_carry)
         # gt fusion_values: the shadow packs (bf16(gt) | bf16(1.0)), so
         # extract_rows returns bf16-rounded gt values -- the documented
         # 16-bit gather precision of the row path (vs the flat path's f32
@@ -411,7 +503,8 @@ class Pipeline:
         # modules/pipeline.py:350-357)
         new_geo, new_key = rowvol.integrate_rows(
             rv.geo, rv.key, cr, upd_values, None, ray_mask, t)
-        return loss, grads, rv._replace(geo=new_geo, key=new_key), new_stats
+        return (loss, grads, rv._replace(geo=new_geo, key=new_key),
+                new_stats, new_carry)
 
     def step_train_impl(self, params, batch_stats, volume: SceneVolume,
                         gt_tsdf, frame, seg_params, rng
@@ -500,18 +593,17 @@ class Pipeline:
         path for pre-staged frame batches.
 
         On the row path the canonical<->row conversions happen ONCE at
-        the chunk boundaries; the scan carries the split row state, so
-        the per-frame cost is pure row gathers/scatters.
+        the chunk boundaries; the scan carries the split row state (plus
+        the dirty-shadow carry: only the tiles the previous frame's
+        integration touched are rebuilt), so the per-frame cost is pure
+        row gathers/scatters.
         """
         if self.row_path:
             layout, rv = self._rows_from_volume(volume)
-
-            def row_body(rv, frame):
-                return self.step_fuse_rows_impl(
-                    params_and_stats, layout, rv, frame, seg_params), None
-
-            rv, _ = jax.lax.scan(row_body, rv, frames)
-            return self._volume_from_rows(rv, layout)
+            stream = self.fuse_sequence_rows_impl(
+                layout, params_and_stats, self._new_stream(layout, rv),
+                frames, seg_params)
+            return self._volume_from_rows(stream.rv, layout)
 
         def body(vol, frame):
             return self.step_fuse_impl(params_and_stats, vol, frame,
@@ -524,21 +616,28 @@ class Pipeline:
                                       donate_argnums=(2,))(fuse_sequence_impl)
 
     def fuse_sequence_rows_impl(self, layout, params_and_stats,
-                                rv: rowvol.RowVolume, frames,
-                                seg_params) -> rowvol.RowVolume:
+                                stream: RowStream, frames,
+                                seg_params) -> RowStream:
         """Row-state-to-row-state sequence fusion: like
         :meth:`fuse_sequence` but the canonical<->slot conversions stay
         OUTSIDE -- callers that stream many chunks (fuse_many, benches)
-        carry the RowVolume across chunk boundaries and materialise a
+        carry the RowStream (slot state + dirty-shadow carry, see
+        :meth:`_new_stream`) across chunk boundaries and materialise a
         SceneVolume only when the database is actually read (the entry
         scatter + exit reconciles cost ~130 ms per boundary at 448^3,
         tools/profile_trace.py)."""
-        def row_body(rv, frame):
-            return self.step_fuse_rows_impl(
-                params_and_stats, layout, rv, frame, seg_params), None
+        def row_body(stream, frame):
+            carry = (None if stream.shadow is None
+                     else (stream.shadow, stream.dirty))
+            rv, carry = self.step_fuse_rows_impl(
+                params_and_stats, layout, stream.rv, frame, seg_params,
+                shadow_carry=carry)
+            if carry is None:
+                return RowStream(rv, None, None), None
+            return RowStream(rv, carry[0], carry[1]), None
 
-        rv, _ = jax.lax.scan(row_body, rv, frames)
-        return rv
+        stream, _ = jax.lax.scan(row_body, stream, frames)
+        return stream
 
     fuse_sequence_rows = functools.partial(
         jax.jit, static_argnums=(0, 1),
@@ -601,11 +700,13 @@ class Pipeline:
         if self.row_path:
             layout, rv = self._rows_from_volume(volume)
             gt_shadow = self._gt_shadow_impl(layout, gt_tsdf)
-            loss_sum, grad_sum, rv, stats = self.train_sequence_rows_impl(
-                layout, params, batch_stats, rv, gt_shadow, frames,
-                seg_params, rngs, reset_flags)
-            return loss_sum, grad_sum, self._volume_from_rows(rv, layout), \
-                stats
+            loss_sum, grad_sum, stream, stats = \
+                self.train_sequence_rows_impl(
+                    layout, params, batch_stats,
+                    self._new_stream(layout, rv), gt_shadow, frames,
+                    seg_params, rngs, reset_flags)
+            return (loss_sum, grad_sum,
+                    self._volume_from_rows(stream.rv, layout), stats)
 
         grad_zero = jax.tree_util.tree_map(jnp.zeros_like, params)
 
@@ -639,32 +740,34 @@ class Pipeline:
         _gt_shadow_impl)
 
     def train_sequence_rows_impl(self, layout, params, batch_stats,
-                                 rv: rowvol.RowVolume, gt_shadow, frames,
+                                 stream: RowStream, gt_shadow, frames,
                                  seg_params, rngs, reset_flags):
         """Row-state-to-row-state :meth:`train_sequence`: the slot state
-        and the packed gt shadow stay OUTSIDE, so chunked trainers carry
-        them across optimizer steps and skip the per-chunk
-        canonical<->slot conversions (train_fusion.py row-carry)."""
+        (a RowStream -- slot volume + dirty-shadow carry) and the packed
+        gt shadow stay OUTSIDE, so chunked trainers carry them across
+        optimizer steps and skip the per-chunk canonical<->slot
+        conversions (train_fusion.py row-carry)."""
         grad_zero = jax.tree_util.tree_map(jnp.zeros_like, params)
 
         def row_body(carry, inp):
-            rv, stats, grad_acc, loss_acc = carry
+            stream, stats, grad_acc, loss_acc = carry
             frame, rng, reset = inp
-            rv = jax.lax.cond(
-                reset,
-                lambda r: r._replace(geo=jnp.zeros_like(r.geo),
-                                     key=jnp.zeros_like(r.key)),
-                lambda r: r, rv)
-            loss, grads, rv, stats = self.step_train_rows_impl(
-                params, stats, layout, rv, gt_shadow, frame,
-                seg_params, rng)
+            stream = jax.lax.cond(reset, self._reset_stream,
+                                  lambda s: s, stream)
+            sc = (None if stream.shadow is None
+                  else (stream.shadow, stream.dirty))
+            loss, grads, rv, stats, sc = self.step_train_rows_impl(
+                params, stats, layout, stream.rv, gt_shadow, frame,
+                seg_params, rng, shadow_carry=sc)
+            stream = (RowStream(rv, None, None) if sc is None
+                      else RowStream(rv, sc[0], sc[1]))
             grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
-            return (rv, stats, grad_acc, loss_acc + loss), None
+            return (stream, stats, grad_acc, loss_acc + loss), None
 
-        (rv, stats, grad_sum, loss_sum), _ = jax.lax.scan(
-            row_body, (rv, batch_stats, grad_zero, jnp.float32(0.0)),
+        (stream, stats, grad_sum, loss_sum), _ = jax.lax.scan(
+            row_body, (stream, batch_stats, grad_zero, jnp.float32(0.0)),
             (frames, rngs, reset_flags))
-        return loss_sum, grad_sum, rv, stats
+        return loss_sum, grad_sum, stream, stats
 
     train_sequence_rows = functools.partial(
         jax.jit, static_argnums=(0, 1),
@@ -716,13 +819,13 @@ class Pipeline:
                     volume = database.volumes[scene_id]
                     layout = rowvol.RowLayout.for_shape(
                         tuple(volume.num.shape))
-                    rowstate[scene_id] = (
-                        layout, self._enter_rows(layout, volume))
-                layout, rv = rowstate[scene_id]
-                rv = self.fuse_sequence_rows(layout,
-                                             (params, batch_stats), rv,
-                                             stacked, seg_params)
-                rowstate[scene_id] = (layout, rv)
+                    rowstate[scene_id] = (layout, self._new_stream(
+                        layout, self._enter_rows(layout, volume)))
+                layout, stream = rowstate[scene_id]
+                stream = self.fuse_sequence_rows(
+                    layout, (params, batch_stats), stream, stacked,
+                    seg_params)
+                rowstate[scene_id] = (layout, stream)
             else:
                 volume = database.volumes[scene_id]
                 new_volume = self.fuse_sequence((params, batch_stats),
@@ -741,8 +844,10 @@ class Pipeline:
                 flush(scene_id)
         for scene_id in list(pending):
             flush(scene_id)
-        for scene_id, (layout, rv) in rowstate.items():
-            database.update(scene_id, self._exit_rows(layout, rv))
+        for scene_id, (layout, stream) in rowstate.items():
+            database.update(scene_id,
+                            self._exit_rows(layout,
+                                            self._drop_carry(stream)))
 
     def fuse(self, batch, database, params, batch_stats, seg_params=None):
         """Online inference on one frame; updates the database in place

@@ -134,3 +134,60 @@ def test_dirty_all_ones_equals_plain_kernel_interpret():
     got = build_shadow_dirty_pallas(geo, prev, ones, L, interpret=True)
     want = build_shadow_pallas(geo, L, interpret=True)
     assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_fuse_sequence_dirty_carry_matches_off():
+    """Pipeline-level equivalence: fuse_sequence with the dirty-shadow
+    carry (default) must be BIT-identical to SETTINGS.dirty_shadow: off
+    (full rebuild per frame) -- the conservative mask guarantees it."""
+    import copy
+
+    from segfusion_tpu.config import Config, _DEFAULTS, _merge_defaults
+    from segfusion_tpu.core.database import Database
+    from segfusion_tpu.core.pipeline import Pipeline
+    from segfusion_tpu.data.synthetic import Synthetic
+
+    cfg = _merge_defaults(Config({}), _DEFAULTS)
+    cfg.DATA.resx = cfg.DATA.resy = 48
+    cfg.DATA.input = "tof_depth"
+    cfg.DATA.init_value = 0.24
+    cfg.DATA.semantic_strategy = "gt"
+    cfg.DATA.semantics = "class8"
+    cfg.DATA.semantic_grid = True
+    cfg.DATA.n_frames = 6
+    cfg.DATA.voxel_resolution = 0.1
+    cfg.DATA.noise_sigma = 0.004
+    cfg.DATA.n_classes = 8
+    cfg.FUSION_MODEL.n_points = 5
+    cfg.FUSION_MODEL.n_tail_points = 4
+    cfg.FUSION_MODEL.growth_factor = 2
+    cfg.FUSION_MODEL.use_semantics = True
+    cfg.SEMANTIC_2D_MODEL.n_classes = 8
+
+    data = Synthetic(cfg.DATA)
+    db = Database(data, cfg.DATA)
+    pipe_on = Pipeline(cfg)
+    assert pipe_on.dirty_shadow
+    cfg_off = copy.deepcopy(cfg)
+    cfg_off.SETTINGS.dirty_shadow = "off"
+    pipe_off = Pipeline(cfg_off)
+    assert not pipe_off.dirty_shadow
+
+    params, stats = pipe_on.init_fusion_params(jax.random.PRNGKey(0),
+                                               48, 48)
+    frames = [pipe_on._frame_from_batch(
+        {k: (np.asarray(v)[None] if isinstance(v, np.ndarray) else v)
+         for k, v in data[i].items()} | {"frame_id": [data[i]["frame_id"]]},
+        cfg.DATA.input) for i in range(4)]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *frames)
+    sid = data.scenes[0]
+
+    db.reset()
+    va = pipe_on.fuse_sequence((params, stats), db.volumes[sid], stacked,
+                               None)
+    db.reset()
+    vb = pipe_off.fuse_sequence((params, stats), db.volumes[sid], stacked,
+                                None)
+    assert np.array_equal(np.asarray(va.num), np.asarray(vb.num))
+    assert np.array_equal(np.asarray(va.weights), np.asarray(vb.weights))
+    assert np.array_equal(np.asarray(va.semkey), np.asarray(vb.semkey))

@@ -46,27 +46,27 @@ def main():
     mem("frames (32) staged")
 
     layout = rowvol.RowLayout.for_shape(vshape)
-    rv = pipe._enter_rows(layout, volume)
-    jax.block_until_ready(rv.geo)
+    rv = pipe._new_stream(layout, pipe._enter_rows(layout, volume))
+    jax.block_until_ready(rv.rv.geo)
     mem("entered rows (volume alive)")
 
     t0 = time.perf_counter()
     rv = pipe.fuse_sequence_rows(layout, params_stats, rv, stacked,
                                  seg_params)
-    jax.block_until_ready(rv.geo)
+    jax.block_until_ready(rv.rv.geo)
     mem("chunk 1 (compile+run)")
     print(f"  chunk1 wall: {time.perf_counter()-t0:.1f}s", flush=True)
 
     t0 = time.perf_counter()
     rv = pipe.fuse_sequence_rows(layout, params_stats, rv, stacked,
                                  seg_params)
-    jax.block_until_ready(rv.geo)
+    jax.block_until_ready(rv.rv.geo)
     dt = time.perf_counter() - t0
     mem("chunk 2 (warm)")
     print(f"  warm chunk: {dt*1e3:.0f} ms for 32 frames "
           f"-> {32/dt:.2f} fps (pre-exit)", flush=True)
 
-    volume2 = pipe._exit_rows(layout, rv)
+    volume2 = pipe._exit_rows(layout, rv.rv)
     jax.block_until_ready(volume2.num)
     mem("exited rows")
     print("w-sum:", float(jnp.sum(volume2.weights)), flush=True)

@@ -141,8 +141,8 @@ def train_fusion(args, config):
         if scene_id not in rowstate:
             vol = train_database.volumes[scene_id]
             layout = _rowvol.RowLayout.for_shape(tuple(vol.num.shape))
-            rowstate[scene_id] = (layout,
-                                  pipeline._enter_rows(layout, vol))
+            rowstate[scene_id] = (layout, pipeline._new_stream(
+                layout, pipeline._enter_rows(layout, vol)))
             if scene_id not in gt_shadows:
                 gt_shadows[scene_id] = pipeline._gt_shadow(
                     layout, train_database.scenes_gt[scene_id])
@@ -150,8 +150,9 @@ def train_fusion(args, config):
 
     def materialize_rowstate():
         """Reflect carried row states into the database (kept carrying)."""
-        for sid, (layout, rv) in rowstate.items():
-            train_database.update(sid, pipeline._peek_rows(layout, rv))
+        for sid, (layout, stream) in rowstate.items():
+            train_database.update(sid,
+                                  pipeline._peek_rows(layout, stream.rv))
 
     for epoch in range(start_epoch, int(config.TRAINING.n_epochs)):
         workspace.log(
@@ -202,13 +203,13 @@ def train_fusion(args, config):
             rng, sub = jax.random.split(rng)
             rngs = jax.random.split(sub, accum)
             if pipeline.row_path:
-                layout, rv = train_rowstate(chunk_scene)
-                loss_sum, grads, rv, batch_stats = \
+                layout, stream = train_rowstate(chunk_scene)
+                loss_sum, grads, stream, batch_stats = \
                     pipeline.train_sequence_rows(
-                        layout, params, batch_stats, rv,
+                        layout, params, batch_stats, stream,
                         gt_shadows[chunk_scene], stacked, seg_params,
                         rngs, jnp.asarray(resets))
-                rowstate[chunk_scene] = (layout, rv)
+                rowstate[chunk_scene] = (layout, stream)
             else:
                 volume = train_database.volumes[chunk_scene]
                 gt = train_database.scenes_gt[chunk_scene]
