@@ -130,3 +130,39 @@ def test_fuse_many_through_prefetch_loader_preserves_order():
                                np.asarray(ref.weights), atol=1e-4)
     np.testing.assert_allclose(np.asarray(db.volumes[s].num),
                                np.asarray(ref.num), atol=1e-3)
+
+
+def test_fuse_many_dirty_carry_bit_identical():
+    """The dirty-shadow carry is an optimization, not an approximation:
+    fuse_many with SETTINGS.dirty_shadow on vs off must produce
+    BIT-IDENTICAL volumes (the tile mask is conservative, so rebuilt
+    shadows equal full rebuilds -- tests/test_shadow_dirty.py proves the
+    kernel level; this pins the pipeline level)."""
+    cfg = small_config(use_semantics=False, semantics="class8")
+    cfg.DATA.semantic_grid = True
+    data = Synthetic(cfg.DATA)
+    params = stats = None
+
+    def run(dirty):
+        c = small_config(use_semantics=False, semantics="class8")
+        c.DATA.semantic_grid = True
+        c.SETTINGS.dirty_shadow = "on" if dirty else "off"
+        db = Database(data, c.DATA)
+        pipe = Pipeline(c)
+        nonlocal params, stats
+        if params is None:
+            params, stats = pipe.init_fusion_params(
+                jax.random.PRNGKey(0), 48, 48)
+        assert pipe.dirty_shadow == dirty
+        db.reset()
+        batches = [_batch(data, i) for i in range(6)]
+        pipe.fuse_many(batches, db, params, stats, chunk=4)
+        s = data.scenes[0]
+        return db.volumes[s]
+
+    a, b = run(True), run(False)
+    np.testing.assert_array_equal(np.asarray(a.num), np.asarray(b.num))
+    np.testing.assert_array_equal(np.asarray(a.weights),
+                                  np.asarray(b.weights))
+    np.testing.assert_array_equal(np.asarray(a.semkey),
+                                  np.asarray(b.semkey))
