@@ -20,15 +20,27 @@ extern "C" {
 // faces: (n_faces, 3) int32
 // view: (4, 4) row-major world->camera matrix
 // K: (3, 3) row-major intrinsics (u = col, v = row; z forward, y down)
+// colors: (n_verts, 3) float32 in [0, 1] or NULL (flat diffuse shading
+//         from the face normal, the GL renderer's coloring=false mode --
+//         reference deps/mesh-fusion/librender/pyrender.pyx:38-39,
+//         offscreen.cpp lighting)
 // depth_out: (h, w) float32, 0 where nothing was hit
-void rasterize_depth(const float* vertices, int64_t n_verts,
-                     const int32_t* faces, int64_t n_faces,
-                     const float* view, const float* K,
-                     int32_t h, int32_t w,
-                     float znear, float zfar,
-                     float* depth_out) {
+// mask_out: (h, w) uint8 hit mask, or NULL
+// rgb_out: (h, w, 3) uint8, or NULL
+static void rasterize_impl(const float* vertices, int64_t n_verts,
+                           const int32_t* faces, int64_t n_faces,
+                           const float* view, const float* K,
+                           const float* colors,
+                           int32_t h, int32_t w,
+                           float znear, float zfar,
+                           float* depth_out, uint8_t* mask_out,
+                           uint8_t* rgb_out) {
     for (int64_t i = 0; i < (int64_t)h * w; ++i)
         depth_out[i] = 0.0f;
+    if (mask_out)
+        for (int64_t i = 0; i < (int64_t)h * w; ++i) mask_out[i] = 0;
+    if (rgb_out)
+        for (int64_t i = 0; i < (int64_t)h * w * 3; ++i) rgb_out[i] = 0;
 
     const float fx = K[0], cx = K[2], fy = K[4], cy = K[5];
 
@@ -64,6 +76,22 @@ void rasterize_depth(const float* vertices, int64_t n_verts,
         float inv_area = 1.0f / area;
         float za = 1.0f / a[2], zb = 1.0f / b[2], zc = 1.0f / c[2];
 
+        // per-face flat shade for the colors == NULL mode: diffuse from
+        // the camera-space normal against the view direction
+        float shade = 0.0f;
+        if (rgb_out && !colors) {
+            float e0[3] = {b[0] - a[0], b[1] - a[1], b[2] - a[2]};
+            float e1[3] = {c[0] - a[0], c[1] - a[1], c[2] - a[2]};
+            float nx = e0[1] * e1[2] - e0[2] * e1[1];
+            float ny = e0[2] * e1[0] - e0[0] * e1[2];
+            float nz = e0[0] * e1[1] - e0[1] * e1[0];
+            float nl = std::sqrt(nx * nx + ny * ny + nz * nz);
+            shade = nl > 0 ? 0.2f + 0.8f * std::fabs(nz) / nl : 0.2f;
+        }
+        const float* ca = colors ? colors + 3 * faces[3 * f] : nullptr;
+        const float* cb = colors ? colors + 3 * faces[3 * f + 1] : nullptr;
+        const float* cc2 = colors ? colors + 3 * faces[3 * f + 2] : nullptr;
+
         for (int y = y0; y <= y1; ++y) {
             for (int x = x0; x <= x1; ++x) {
                 float px = x + 0.5f, py = y + 0.5f;
@@ -78,10 +106,49 @@ void rasterize_depth(const float* vertices, int64_t n_verts,
                 float z = 1.0f / inv_z;
                 if (z < znear || z > zfar) continue;
                 float& d = depth_out[(int64_t)y * w + x];
-                if (d == 0.0f || z < d) d = z;
+                if (d == 0.0f || z < d) {
+                    d = z;
+                    if (mask_out) mask_out[(int64_t)y * w + x] = 1;
+                    if (rgb_out) {
+                        uint8_t* px_rgb = rgb_out + 3 * ((int64_t)y * w + x);
+                        for (int ch = 0; ch < 3; ++ch) {
+                            // perspective-correct barycentric color
+                            float val = colors
+                                ? (w0 * za * ca[ch] + w1 * zb * cb[ch]
+                                   + w2 * zc * cc2[ch]) * z
+                                : shade;
+                            val = std::min(1.0f, std::max(0.0f, val));
+                            px_rgb[ch] = (uint8_t)(val * 255.0f + 0.5f);
+                        }
+                    }
+                }
             }
         }
     }
+}
+
+void rasterize_depth(const float* vertices, int64_t n_verts,
+                     const int32_t* faces, int64_t n_faces,
+                     const float* view, const float* K,
+                     int32_t h, int32_t w,
+                     float znear, float zfar,
+                     float* depth_out) {
+    rasterize_impl(vertices, n_verts, faces, n_faces, view, K, nullptr,
+                   h, w, znear, zfar, depth_out, nullptr, nullptr);
+}
+
+// Full render: depth + hit mask + RGB (the reference librender return
+// triple, pyrender.pyx:51). colors may be NULL for flat shading.
+void rasterize_full(const float* vertices, int64_t n_verts,
+                    const int32_t* faces, int64_t n_faces,
+                    const float* view, const float* K,
+                    const float* colors,
+                    int32_t h, int32_t w,
+                    float znear, float zfar,
+                    float* depth_out, uint8_t* mask_out,
+                    uint8_t* rgb_out) {
+    rasterize_impl(vertices, n_verts, faces, n_faces, view, K, colors,
+                   h, w, znear, zfar, depth_out, mask_out, rgb_out);
 }
 
 }  // extern "C"

@@ -12,7 +12,7 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["rasterize_depth", "build_native"]
+__all__ = ["rasterize_depth", "rasterize", "build_native"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "rasterize.cpp")
@@ -47,6 +47,11 @@ def _load():
             if _build_failed or not build_native():
                 return None
         lib = ctypes.CDLL(_SO)
+        if not hasattr(lib, "rasterize_full"):
+            # stale .so predating the full-render entry point
+            if _build_failed or not build_native(force=True):
+                return None
+            lib = ctypes.CDLL(_SO)
         lib.rasterize_depth.restype = None
         lib.rasterize_depth.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
@@ -55,6 +60,17 @@ def _load():
             ctypes.c_int32, ctypes.c_int32,
             ctypes.c_float, ctypes.c_float,
             ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.rasterize_full.restype = None
+        lib.rasterize_full.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_float, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
         ]
         _lib = lib
         return _lib
@@ -90,13 +106,58 @@ def rasterize_depth(vertices: np.ndarray, faces: np.ndarray,
             h, w, znear, zfar,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
         return out
-    return _rasterize_numpy(v, f, vw, k, h, w, znear, zfar)
+    return _rasterize_numpy(v, f, vw, k, h, w, znear, zfar)[0]
 
 
-def _rasterize_numpy(v, f, view, k, h, w, znear, zfar):
-    """Vectorised-per-triangle fallback (slow; native is preferred)."""
+def rasterize(vertices: np.ndarray, faces: np.ndarray,
+              view: np.ndarray, intrinsics: np.ndarray,
+              h: int, w: int, znear: float = 0.05, zfar: float = 100.0,
+              colors: Optional[np.ndarray] = None):
+    """Full render: the reference librender return triple
+    (deps/mesh-fusion/librender/pyrender.pyx:51).
+
+    Args:
+      colors: optional (n, 3) per-vertex colors in [0, 1]; when None the
+        mesh is flat-shaded from the camera-space face normal (the GL
+        renderer's coloring=False mode).
+    Returns:
+      depth (h, w) float32 (0 = no hit), mask (h, w) bool,
+      rgb (h, w, 3) uint8.
+    """
+    v = np.ascontiguousarray(vertices, np.float32)
+    f = np.ascontiguousarray(faces, np.int32)
+    vw = np.ascontiguousarray(view, np.float32)
+    k = np.ascontiguousarray(intrinsics, np.float32)
+    col = (np.ascontiguousarray(colors, np.float32)
+           if colors is not None else None)
+    depth = np.zeros((h, w), np.float32)
+    mask = np.zeros((h, w), np.uint8)
+    rgb = np.zeros((h, w, 3), np.uint8)
+
+    lib = _load()
+    if lib is not None:
+        lib.rasterize_full(
+            v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(v),
+            f.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(f),
+            vw.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            k.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            col.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+            if col is not None else None,
+            h, w, znear, zfar,
+            depth.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        return depth, mask.astype(bool), rgb
+    depth, rgb = _rasterize_numpy(v, f, vw, k, h, w, znear, zfar, col)
+    return depth, depth > 0, rgb
+
+
+def _rasterize_numpy(v, f, view, k, h, w, znear, zfar, colors=None):
+    """Vectorised-per-triangle fallback (slow; native is preferred).
+    Returns (depth, rgb); rgb mirrors rasterize_full's interpolation."""
     cam = v @ view[:3, :3].T + view[:3, 3]
     depth = np.zeros((h, w), np.float32)
+    rgb = np.zeros((h, w, 3), np.uint8)
     fx, cx, fy, cy = k[0, 0], k[0, 2], k[1, 1], k[1, 2]
     for tri in f:
         a, b, c = cam[tri]
@@ -127,4 +188,17 @@ def _rasterize_numpy(v, f, view, k, h, w, znear, zfar):
         write = inside & (z >= znear) & (z <= zfar) \
             & ((patch == 0) | (z < patch))
         patch[write] = z[write]
-    return depth
+        if colors is not None:
+            ca, cb, cc2 = colors[tri]
+            shade = (w0[..., None] / a[2] * ca + w1[..., None] / b[2] * cb
+                     + w2[..., None] / c[2] * cc2) * z[..., None]
+        else:
+            e0, e1 = b - a, c - a
+            n = np.cross(e0, e1)
+            nl = np.linalg.norm(n)
+            s = 0.2 + 0.8 * abs(n[2]) / nl if nl > 0 else 0.2
+            shade = np.broadcast_to(
+                np.float64(s), z.shape + (3,))
+        val = np.clip(shade, 0, 1) * 255.0 + 0.5
+        rgb[y0:y1 + 1, x0:x1 + 1][write] = val[write].astype(np.uint8)
+    return depth, rgb

@@ -45,8 +45,9 @@ def test_native_and_numpy_rasterizer_agree():
     h = w = 48
     k = np.array([[60.0, 0, 24], [0, 60.0, 24], [0, 0, 1]], np.float32)
     d1 = rasterize_depth(verts, faces, view, k, h, w)
-    d2 = _rasterize_numpy(verts.astype(np.float32), faces.astype(np.int32),
-                          view, k, h, w, 0.05, 100.0)
+    d2, _ = _rasterize_numpy(verts.astype(np.float32),
+                             faces.astype(np.int32),
+                             view, k, h, w, 0.05, 100.0)
     hit_both = (d1 > 0) & (d2 > 0)
     assert hit_both.mean() > 0.03
     np.testing.assert_allclose(d1[hit_both], d2[hit_both], atol=1e-3)
@@ -122,10 +123,108 @@ def test_thin_structure_survives_fusion():
 
 
 def test_simplify_reduces_vertices():
-    from simplify import simplify
+    from segfusion_tpu.native.simplify import simplify_cluster
     verts, faces = unit_sphere_mesh(r=0.4, n=48)
-    sv, sf = simplify(verts, faces, cluster=0.05)
+    sv, sf = simplify_cluster(verts, faces, cluster=0.05)
     assert len(sv) < len(verts) / 2
     assert len(sf) > 0
     radii = np.linalg.norm(sv, axis=1)
     assert abs(np.median(radii) - 0.4) < 0.05
+
+
+def test_rasterize_full_triple():
+    """rasterize() returns the reference librender triple
+    (deps/mesh-fusion/librender/pyrender.pyx:51: depth, mask, RGB):
+    mask == hit pixels, vertex colors interpolate perspective-correct."""
+    from segfusion_tpu.native.rasterize import rasterize
+
+    verts, faces = unit_sphere_mesh(n=24)
+    from common import look_at_view
+    view = look_at_view(np.array([0.0, 0.0, -1.2], np.float32))
+    h = w = 64
+    k = np.array([[76.0, 0, 32], [0, 76.0, 32], [0, 0, 1]], np.float32)
+
+    d, m, rgb = rasterize(verts, faces, view, k, h, w)
+    assert d.shape == (h, w) and m.shape == (h, w)
+    assert rgb.shape == (h, w, 3) and rgb.dtype == np.uint8
+    np.testing.assert_array_equal(m, d > 0)
+    assert rgb[m].mean() > 10           # flat shading lit the sphere
+    assert (rgb[~m] == 0).all()
+
+    # constant vertex colors must reproduce exactly on every hit pixel
+    col = np.full((len(verts), 3), [1.0, 0.5, 0.0], np.float32)
+    _, m2, rgb2 = rasterize(verts, faces, view, k, h, w, colors=col)
+    np.testing.assert_array_equal(m2, m)
+    assert (rgb2[m2][:, 0] == 255).all()
+    assert (np.abs(rgb2[m2][:, 1].astype(int) - 128) <= 1).all()
+    assert (rgb2[m2][:, 2] == 0).all()
+
+
+def test_rasterize_full_numpy_fallback_agrees():
+    from segfusion_tpu.native import rasterize as R
+
+    verts, faces = unit_sphere_mesh(n=24)
+    from common import look_at_view
+    view = look_at_view(np.array([0.4, -0.3, -1.1], np.float32))
+    h = w = 48
+    k = np.array([[60.0, 0, 24], [0, 60.0, 24], [0, 0, 1]], np.float32)
+    col = np.random.RandomState(0).rand(len(verts), 3).astype(np.float32)
+
+    d1, m1, rgb1 = R.rasterize(verts, faces, view, k, h, w, colors=col)
+    d2, rgb2 = R._rasterize_numpy(verts.astype(np.float32),
+                                  faces.astype(np.int32), view, k,
+                                  h, w, 0.05, 100.0, col)
+    hit_both = (d1 > 0) & (d2 > 0)
+    assert hit_both.mean() > 0.03
+    np.testing.assert_allclose(d1[hit_both], d2[hit_both], atol=1e-3)
+    # color interpolation agrees up to z-fight winners at tri borders
+    close = (np.abs(rgb1[hit_both].astype(int)
+                    - rgb2[hit_both].astype(int)) <= 2).all(axis=-1)
+    assert close.mean() > 0.95
+
+
+def test_quadric_simplification_fidelity():
+    """QEM decimation (the reference simplification.mlx contract): hits
+    the face target, stays on the surface, preserves closed topology."""
+    from segfusion_tpu.native.simplify import simplify_quadric
+
+    verts, faces = unit_sphere_mesh(r=0.4, n=48)
+    assert len(faces) > 4000
+    sv, sf = simplify_quadric(verts, faces, target_faces=500)
+    assert 100 < len(sf) <= 500
+    assert sf.min() >= 0 and sf.max() < len(sv)
+
+    # geometric fidelity: decimated vertices stay near the r=0.4 sphere
+    r = np.linalg.norm(sv, axis=1)
+    assert np.abs(r - 0.4).max() < 0.03, np.abs(r - 0.4).max()
+
+    # watertight in, watertight out: every edge shared by exactly 2
+    # faces (AutoClean + manifold-preserving collapses)
+    edges = np.concatenate([sf[:, [0, 1]], sf[:, [1, 2]], sf[:, [2, 0]]])
+    edges = np.sort(edges, axis=1)
+    _, counts = np.unique(edges, axis=0, return_counts=True)
+    assert (counts == 2).all(), np.bincount(counts)
+
+    # already-small meshes pass through untouched
+    tv, tf = simplify_quadric(sv, sf, target_faces=10 ** 6)
+    assert len(tf) == len(sf)
+
+
+def test_quadric_preserves_sharp_box():
+    """A cube must decimate to near-minimal faces with corners intact
+    (the QEM planar quadrics keep flat faces flat)."""
+    from segfusion_tpu.native.simplify import simplify_quadric
+
+    # dense axis-aligned unit cube mesh via mcubes on a box SDF
+    n = 32
+    x, y, z = np.mgrid[:n, :n, :n].astype(np.float32) / (n - 1)
+    q = np.maximum.reduce([np.abs(x - 0.5), np.abs(y - 0.5),
+                           np.abs(z - 0.5)]) - 0.3
+    v, f, _ = mcubes.marching_cubes(q, 0.0, spacing=1.0 / n)
+    sv, sf = simplify_quadric(v, f, target_faces=60)
+    assert len(sf) <= 60
+    # all decimated vertices still on the cube surface
+    d = np.maximum.reduce([np.abs(sv[:, 0] - 0.5 + 0.5 / n),
+                           np.abs(sv[:, 1] - 0.5 + 0.5 / n),
+                           np.abs(sv[:, 2] - 0.5 + 0.5 / n)])
+    assert np.abs(d - 0.3).max() < 0.05
