@@ -139,3 +139,47 @@ def test_train_sequence_reset_flag_resets_volume():
         params, stats, db.volumes[s], db.scenes_gt[s], stacked, None, rngs,
         jnp.asarray([False, True]))
     assert np.isclose(float(jnp.sum(v2.weights)), w_single, rtol=1e-5)
+
+
+def test_train_sequence_dirty_carry_bit_identical_with_resets():
+    """Carry on vs off through train_sequence with a mid-chunk reset must
+    be BIT-identical: _reset_stream zeroes the carried shadow with a
+    CLEAN dirty mask (a zero geo state's shadow is all-zero bits), so no
+    rebuild may be needed for reset tiles."""
+    import copy
+
+    cfg = small_config()
+    data = Synthetic(cfg.DATA)
+    db = Database(data, cfg.DATA)
+    k = 3
+    params = stats0 = None
+    s = data.scenes[0]
+
+    def run(dirty):
+        nonlocal params, stats0
+        c = copy.deepcopy(cfg)
+        c.SETTINGS.dirty_shadow = "on" if dirty else "off"
+        pipe = Pipeline(c)
+        assert pipe.dirty_shadow == dirty
+        if params is None:
+            params, stats0 = pipe.init_fusion_params(
+                jax.random.PRNGKey(0), 48, 48)
+        frames = [pipe._frame_from_batch(_batch(data, i), c.DATA.input)
+                  for i in range(k)]
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *frames)
+        rngs = jax.random.split(jax.random.PRNGKey(7), k)
+        resets = jnp.asarray([False, True, False])
+        db.reset()
+        return pipe.train_sequence(params, stats0, db.volumes[s],
+                                   db.scenes_gt[s], stacked, None, rngs,
+                                   resets)
+
+    la, ga, va, sa = run(True)
+    lb, gb, vb, sb = run(False)
+    assert float(la) == float(lb)
+    for a, b in zip(jax.tree_util.tree_leaves(ga),
+                    jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(va.num), np.asarray(vb.num))
+    np.testing.assert_array_equal(np.asarray(va.weights),
+                                  np.asarray(vb.weights))
