@@ -40,10 +40,18 @@ not synchronize here -- a scalar jnp.sum readback forces completion.
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# SEGFUSION_BENCH_TINY=1 shrinks every mode to CPU-smoke shapes so the
+# whole driver artifact path (mode wiring, RowStream carry, exits, JSON
+# emission) is testable without a TPU (tests/test_bench_smoke.py). The
+# numbers it prints are meaningless; it exists to guarantee `python
+# bench.py` cannot crash at round end.
+_TINY = bool(os.environ.get("SEGFUSION_BENCH_TINY"))
 
 
 def note(msg):
@@ -128,23 +136,28 @@ def _headline_setup(h=256, w=256):
     from segfusion_tpu.core.volume import init_scene_volume
     from segfusion_tpu.data.synthetic import SyntheticScene
 
+    if _TINY:
+        h = w = 32
     cfg = build_config(h, w)
     pipe, params_stats, seg_params = build_pipeline(cfg, h, w)
 
     # Replica-room-scale volume: ~4.5m box at 1cm voxels
     scene = SyntheticScene(seed=0, half=2.2)
-    vshape = (448, 448, 448)
+    vshape = (64,) * 3 if _TINY else (448, 448, 448)
     origin = np.array([-2.24, -2.24, -2.24], np.float32)
-    volume = init_scene_volume(vshape, origin, 0.01, cfg.DATA.init_value)
+    volume = init_scene_volume(vshape, origin, 4.48 / vshape[0],
+                               cfg.DATA.init_value)
 
     note("bench: rendering trajectory...")
-    frames = render_frames(scene, h, w, 8)
+    frames = render_frames(scene, h, w, 4 if _TINY else 8)
     note("bench: frames ready")
     return cfg, pipe, params_stats, seg_params, volume, frames
 
 
 def _stream_rows(pipe, params_stats, volume, frames, seg_params,
                  chunk_frames=32, n_chunks=2):
+    if _TINY:
+        chunk_frames, n_chunks = 4, 1
     """Time the fuse_many steady state: row-carried chunked streaming --
     per-chunk fuse_sequence_rows dispatches chained on the slot state,
     ONE exit materialisation at the end (how every multi-chunk stream
@@ -216,7 +229,7 @@ def bench_speed():
     from segfusion_tpu.core.volume import init_scene_volume
     from segfusion_tpu.data.synthetic import SyntheticScene
 
-    h = w = 128
+    h = w = 32 if _TINY else 128
     cfg = build_config(h, w)
     cfg.DATA.semantics = None
     cfg.DATA.semantic_strategy = "gt"
@@ -225,12 +238,13 @@ def bench_speed():
     params, stats = pipe.init_fusion_params(jax.random.PRNGKey(0), h, w)
 
     scene = SyntheticScene(seed=0, half=2.2)
-    vshape = (448, 448, 448)
+    vshape = (64,) * 3 if _TINY else (448, 448, 448)
     origin = np.array([-2.24, -2.24, -2.24], np.float32)
-    volume = init_scene_volume(vshape, origin, 0.01, cfg.DATA.init_value)
+    volume = init_scene_volume(vshape, origin, 4.48 / vshape[0],
+                               cfg.DATA.init_value)
 
     note("bench: rendering trajectory...")
-    frames = render_frames(scene, h, w, 8)
+    frames = render_frames(scene, h, w, 4 if _TINY else 8)
     frames = {k: frames[k] for k in
               ("depth", "extrinsics", "intrinsics", "mask")}
     note("bench: frames ready")
@@ -258,26 +272,30 @@ def bench_multi512():
     from segfusion_tpu.parallel.scene_parallel import (SceneParallelFusion,
                                                        stack_volumes)
 
-    h = w = 512
+    h = w = 32 if _TINY else 512
     n_scenes = 2
     cfg = build_config(h, w)
     pipe, params_stats, seg_params = build_pipeline(cfg, h, w)
 
-    vshape = (320, 320, 320)   # two 3.2m scenes at 1cm share the chip
+    # two 3.2m scenes at 1cm share the chip
+    vshape = (64,) * 3 if _TINY else (320, 320, 320)
     origin = np.array([-1.6, -1.6, -1.6], np.float32)
     volumes = stack_volumes([
-        init_scene_volume(vshape, origin, 0.01, cfg.DATA.init_value)
+        init_scene_volume(vshape, origin, 3.2 / vshape[0],
+                          cfg.DATA.init_value)
         for _ in range(n_scenes)])
 
     note("bench: rendering trajectories...")
-    per_scene = [render_frames(SyntheticScene(seed=s, half=1.5), h, w, 8)
+    per_scene = [render_frames(SyntheticScene(seed=s, half=1.5), h, w,
+                               2 if _TINY else 8)
                  for s in range(n_scenes)]
     frames = jax.tree_util.tree_map(
         lambda *xs: jnp.stack(xs), *per_scene)     # (S, T, ...)
-    reps = 2
+    reps = 1 if _TINY else 2
     frames = jax.tree_util.tree_map(
         lambda x: jnp.concatenate([x] * reps, axis=1), frames)
-    n_frames_total = n_scenes * 8 * reps
+    n_frames_total = int(frames["depth"].shape[0]
+                         * frames["depth"].shape[1])
     note("bench: frames ready")
 
     runner = SceneParallelFusion(pipe)
@@ -322,35 +340,36 @@ def bench_train():
     from segfusion_tpu.core.volume import init_scene_volume
     from segfusion_tpu.data.synthetic import SyntheticScene
 
-    h = w = 256
+    h = w = 32 if _TINY else 256
     cfg = build_config(h, w)
     cfg.DATA.semantic_strategy = "gt"
     pipe, (params, stats), _ = build_pipeline(cfg, h, w)
     pipe.segmenter = None
 
     scene = SyntheticScene(seed=0, half=2.2)
-    vshape = (448, 448, 448)
+    vshape = (64,) * 3 if _TINY else (448, 448, 448)
     origin = np.array([-2.24, -2.24, -2.24], np.float32)
-    volume = init_scene_volume(vshape, origin, 0.01, cfg.DATA.init_value)
+    voxel = 4.48 / vshape[0]
+    volume = init_scene_volume(vshape, origin, voxel, cfg.DATA.init_value)
     # gt volume for target extraction: the analytic scene sdf sampled at
     # the volume's voxel centers, truncated like the dataset loaders
     ax = (origin[0] + (np.arange(vshape[0], dtype=np.float32) + 0.5)
-          * np.float32(0.01))
+          * np.float32(voxel))
     x, y, z = np.meshgrid(ax, ax, ax, indexing="ij")
     pts = np.stack([x, y, z], axis=-1)
     gt = jnp.asarray(np.clip(scene.sdf(pts), -0.1, 0.1).astype(np.float32))
     del x, y, z, pts
 
     note("bench: rendering trajectory...")
-    frames = render_frames(scene, h, w, 8)
+    frames = render_frames(scene, h, w, 4 if _TINY else 8)
     # gt semantic labels for the semantic_frame input channel: any static
     # uint8 map exercises the same compute (depth-band quantization)
     sem = jnp.clip(frames["depth"] / 9.0 * 29.0, 0, 29).astype(jnp.uint8)
     frames["semantic_gt"] = sem
     note("bench: frames ready")
 
-    accum = 8
-    n_chunks = 3
+    accum = 4 if _TINY else 8
+    n_chunks = 1 if _TINY else 3
     n_iters = accum * n_chunks
     rngs = jax.random.split(jax.random.PRNGKey(3), accum)
     resets = jnp.zeros((accum,), bool)

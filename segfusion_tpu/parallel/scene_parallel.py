@@ -75,7 +75,24 @@ class SceneParallelFusion:
 
         self._seq = _seq
 
+    def _fit_mesh(self, n_scenes: int) -> None:
+        """Shrink the mesh to the largest divisor of ``n_scenes`` when the
+        scene count doesn't divide the device count (e.g. 2 scenes on an
+        8-chip host): XLA rejects sharding a dim-S axis over a
+        non-divisor mesh, and idle trailing devices cost nothing."""
+        size = self.mesh.devices.size
+        if n_scenes % size == 0:
+            return
+        d = max(k for k in range(1, min(size, n_scenes) + 1)
+                if n_scenes % k == 0)
+        devs = np.asarray(self.mesh.devices).reshape(-1)[:d]
+        self.mesh = Mesh(devs, self.mesh.axis_names)
+        self._scene_sharding = NamedSharding(self.mesh,
+                                             P(self.mesh.axis_names[0]))
+        self._replicated = NamedSharding(self.mesh, P())
+
     def shard_volumes(self, stacked: SceneVolume) -> SceneVolume:
+        self._fit_mesh(stacked.num.shape[0])
         return jax.tree_util.tree_map(
             lambda x: jax.device_put(x, self._scene_sharding
                                      if x.ndim > 1 or x.shape[0] > 1
@@ -90,6 +107,7 @@ class SceneParallelFusion:
              seg_params=None) -> SceneVolume:
         """One frame per scene: ``frames`` leaves have leading scene axis.
         Returns the updated stacked volumes (donated in place)."""
+        self._fit_mesh(volumes.num.shape[0])
         frames = jax.tree_util.tree_map(
             lambda x: jax.device_put(jnp.asarray(x), self._scene_sharding),
             frames)
@@ -104,6 +122,7 @@ class SceneParallelFusion:
         the mesh), the time axis is the fuse_sequence lax.scan -- the
         production shape for multi-scene streaming (BASELINE.json
         config #5)."""
+        self._fit_mesh(volumes.num.shape[0])
         frames = jax.tree_util.tree_map(
             lambda x: jax.device_put(jnp.asarray(x), self._scene_sharding),
             frames)
