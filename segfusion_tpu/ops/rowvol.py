@@ -72,6 +72,12 @@ _EXTRACT_CHUNK = 16384    # gather temp ~ chunk*p*2*128*4B (~150 MB at
                           # state + net activations at 448^3/256^2)
 _INTEGRATE_CHUNK = 262144  # update temp ~ chunk*t*2*256*4B (~3.8 GB at t=7)
 
+# Extraction one-hot reduce formulation; "quarter" (4 masked 32-lane
+# reduces) and "select128" (one 128-lane select + minor-axis sum) are
+# bit-exact to each other -- pick by measurement
+# (tools/probe_extract_variants.py).
+EXTRACT_REDUCE = "quarter"
+
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
@@ -506,18 +512,31 @@ def _extract_block(shadow, cr: CornerRows, init_value: float,
     rows = jnp.take(shadow, cr.k_rows.reshape(-1), axis=0)   # (2m, 128)
     slf = cr.ksl.reshape(-1)
     sl2 = jnp.concatenate([slf, slf])[:, None]               # (2m, 1)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (2 * m, 32), 1)
-    hot = iota == sl2                 # one slot mask, shared by all comps
 
-    def quarter(lo):
-        # masked one-hot reduce per 32-lane corner component; keeping
-        # the mask inside each reduce lets XLA fuse it instead of
-        # materialising a (2m, 128) masked copy of the gathered rows
-        return jnp.sum(jnp.where(hot, rows[:, lo:lo + 32], jnp.uint32(0)),
-                       axis=-1)
+    if EXTRACT_REDUCE == "select128":
+        # one 128-lane select (lane % 32 == slot) then a minor-axis sum
+        # of the (2m, 4, 32) view -- single full-width mask instead of 4
+        # masked quarter reduces (tools/probe_extract_variants.py; both
+        # are bit-exact, tests/test_rowvol.py)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (2 * m, 128), 1)
+        sel = jnp.where((iota & 31) == sl2, rows, jnp.uint32(0))
+        q = jnp.sum(sel.reshape(2 * m, 4, 32), axis=-1)      # (2m, 4)
+        qA0, qA1, qB0, qB1 = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    else:
+        iota = jax.lax.broadcasted_iota(jnp.int32, (2 * m, 32), 1)
+        hot = iota == sl2             # one slot mask, shared by all comps
 
-    qA0, qA1, qB0, qB1 = (quarter(0), quarter(32), quarter(64),
-                          quarter(96))               # (2m,) u32 packed
+        def quarter(lo):
+            # masked one-hot reduce per 32-lane corner component;
+            # keeping the mask inside each reduce lets XLA fuse it
+            # instead of materialising a (2m, 128) masked copy of the
+            # gathered rows
+            return jnp.sum(
+                jnp.where(hot, rows[:, lo:lo + 32], jnp.uint32(0)),
+                axis=-1)
+
+        qA0, qA1, qB0, qB1 = (quarter(0), quarter(32), quarter(64),
+                              quarter(96))           # (2m,) u32 packed
 
     dz0 = cr.dz0.reshape(-1)
     dz1 = cr.dz1.reshape(-1)

@@ -202,3 +202,31 @@ def test_pipeline_row_path_matches_scalar_path():
     np.testing.assert_allclose(num_r, num_s, atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(w_r, w_s, atol=1e-4, rtol=1e-4)
     np.testing.assert_array_equal(key_r, key_s)
+
+
+def test_extract_reduce_modes_bit_identical():
+    """The two one-hot reduce formulations in _extract_block ("quarter" /
+    "select128") must be bit-exact so the default can be picked purely
+    by TPU measurement."""
+    from segfusion_tpu.ops import rowvol as RV
+
+    rng = np.random.RandomState(5)
+    num, w, key = _state(rng)
+    L = RowLayout.for_shape(SHAPE)
+    pts = _points(rng, 64, 5, SHAPE)
+    geo, _ = rows_from_volume(num, w, key, L)
+    shadow = build_shadow(geo, L)
+    cr = corner_rows(pts, L)
+
+    orig = RV.EXTRACT_REDUCE
+    try:
+        RV.EXTRACT_REDUCE = "quarter"
+        fv1, fw1 = extract_rows(shadow, cr, 0.1,
+                                geometry.INVALID_TSDF_FILL)
+        RV.EXTRACT_REDUCE = "select128"
+        fv2, fw2 = extract_rows(shadow, cr, 0.1,
+                                geometry.INVALID_TSDF_FILL)
+    finally:
+        RV.EXTRACT_REDUCE = orig
+    np.testing.assert_array_equal(np.asarray(fv1), np.asarray(fv2))
+    np.testing.assert_array_equal(np.asarray(fw1), np.asarray(fw2))
