@@ -78,6 +78,12 @@ _INTEGRATE_CHUNK = 262144  # update temp ~ chunk*t*2*256*4B (~3.8 GB at t=7)
 # (tools/probe_extract_variants.py).
 EXTRACT_REDUCE = "quarter"
 
+# Scatter update-build formulation; "minor16" (one-hot over (M, C, S)
+# minor-dim intermediates + relayout reshape) vs "lane128" (128-lane
+# select tree, no relayout). Bit-exact to each other; pick by
+# measurement (tools/probe_update_build.py).
+UPDATE_BUILD = "minor16"
+
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
@@ -626,10 +632,48 @@ class _UpdateBlock(NamedTuple):
 
 
 def _integrate_block(geo, key, b: _UpdateBlock):
+    n = b.vals8.shape[0]
+
+    if UPDATE_BUILD == "lane128":
+        # Build the (M, 128) update tensors as pure 128-lane select
+        # trees: lane = 16*c + slot for geo, 32*c + slot for keys. The
+        # per-lane component value is picked by a log2(C)-deep where
+    # chain on constant lane-index masks -- everything fuses into ONE
+        # 128-lane pass. The "minor16"/"minor32" form below goes through
+        # (M, C, S) intermediates whose minor dim is 16/32 lanes (7/8 or
+        # 3/4 of every vreg AND store wasted) plus a sublane->lane
+        # relayout reshape. Bit-exact to each other
+        # (tests/test_rowvol.py); pick by measurement.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (n, 128), 1)
+
+        def pick(vals, width):
+            # vals (n, C) -> (n, 128) with out[:, l] = vals[:, l // width]
+            cols = [vals[:, i:i + 1] for i in range(vals.shape[1])]
+            step = width
+            while len(cols) > 1:
+                nxt = []
+                for i in range(0, len(cols), 2):
+                    m = (lane & step) == 0
+                    nxt.append(jnp.where(m, cols[i], cols[i + 1]))
+                cols = nxt
+                step *= 2
+            return cols[0]
+
+        upd = jnp.where((lane & 15) == b.sgs[:, None],
+                        pick(b.vals8, 16), 0.0)
+        geo = geo.at[b.rows].add(upd)
+
+        if b.kvals is None:
+            return geo, key
+        kupd = jnp.where((lane & 31) == b.ksl[:, None],
+                         pick(b.kvals, 32), 0)
+        key = key.at[b.k_rows].max(kupd)
+        return geo, key
+
     # geo slot row: lane = 16*c + sgs, ONE (M, 128) scatter-add for all
     # four (y, z) corners' (num, w)
     hg = (jax.lax.broadcasted_iota(
-        jnp.int32, (b.vals8.shape[0], 8, 16), 2) == b.sgs[:, None, None])
+        jnp.int32, (n, 8, 16), 2) == b.sgs[:, None, None])
     upd = jnp.where(hg, b.vals8[:, :, None], 0.0).reshape(-1, 128)
     geo = geo.at[b.rows].add(upd)
 

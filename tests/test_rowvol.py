@@ -230,3 +230,37 @@ def test_extract_reduce_modes_bit_identical():
         RV.EXTRACT_REDUCE = orig
     np.testing.assert_array_equal(np.asarray(fv1), np.asarray(fv2))
     np.testing.assert_array_equal(np.asarray(fw1), np.asarray(fw2))
+
+
+def test_update_build_modes_bit_identical():
+    """The two scatter update-build formulations in _integrate_block
+    ("minor16" one-hot + relayout reshape vs "lane128" select tree) must
+    be bit-exact so the default is a pure measurement choice."""
+    from segfusion_tpu.ops import integrate as integ
+    from segfusion_tpu.ops import rowvol as RV
+
+    rng = np.random.RandomState(11)
+    num, w, key = _state(rng)
+    L = RowLayout.for_shape(SHAPE)
+    n, p, t = 64, 5, 4
+    pts = _points(rng, n, p, SHAPE)
+    values = jnp.asarray(rng.randn(n, t).astype(np.float32) * 0.1)
+    ids = jnp.asarray(rng.randint(1, 9, n).astype(np.uint8))
+    scores = jnp.asarray(rng.rand(n).astype(np.float32))
+    mask = jnp.asarray(rng.rand(n) > 0.3)
+    sem_key = integ.pack_semantic_key(scores, ids)
+    geo, krows = rows_from_volume(num, w, key, L)
+    cr = corner_rows(pts, L)
+
+    orig = RV.UPDATE_BUILD
+    try:
+        RV.UPDATE_BUILD = "minor16"
+        g1, k1 = integrate_rows(geo, krows, cr, values, sem_key, mask,
+                                n_tail=t)
+        RV.UPDATE_BUILD = "lane128"
+        g2, k2 = integrate_rows(geo, krows, cr, values, sem_key, mask,
+                                n_tail=t)
+    finally:
+        RV.UPDATE_BUILD = orig
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
