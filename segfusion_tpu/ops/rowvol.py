@@ -84,6 +84,21 @@ EXTRACT_REDUCE = "quarter"
 # measurement (tools/probe_update_build.py).
 UPDATE_BUILD = "minor16"
 
+# In-ray duplicate-row merging before the scatters: consecutive tail
+# samples along a ray usually hit the SAME slot row (geo z-groups span
+# 16 voxels, y_lo rarely steps between neighbouring samples), so many of
+# the (M, 128) update rows are duplicates. When on, duplicates within
+# each (ray, x-corner) tail are summed (geo) / maxed (key) into their
+# first occurrence and the leftovers re-target row 0 with neutral values
+# (geo row 0 is a y=-1 pad row -- adding zeros preserves the writer
+# invariant; key scatter-max of 0 is a no-op). This pays ONLY if XLA TPU
+# scatter cost follows distinct-row structure rather than update-row
+# count -- pick by measurement (tools/probe_scatter_dup.py,
+# probe_merge_dup.py). NOT bit-exact to the unmerged path (the duplicate
+# contributions are pre-summed in a different association order);
+# equivalence is allclose (tests/test_rowvol.py).
+MERGE_DUP = False
+
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
@@ -631,60 +646,92 @@ class _UpdateBlock(NamedTuple):
     kvals: Optional[jnp.ndarray]      # (M, 4) masked keys per component
 
 
-def _integrate_block(geo, key, b: _UpdateBlock):
-    n = b.vals8.shape[0]
-
+def _build_geo_update(sgs, vals8):
+    """(M,) slot + (M, 8) component values -> (M, 128) scatter-add rows
+    (lane = 16*c + slot). Two bit-exact formulations (UPDATE_BUILD)."""
+    n = vals8.shape[0]
     if UPDATE_BUILD == "lane128":
-        # Build the (M, 128) update tensors as pure 128-lane select
-        # trees: lane = 16*c + slot for geo, 32*c + slot for keys. The
-        # per-lane component value is picked by a log2(C)-deep where
-    # chain on constant lane-index masks -- everything fuses into ONE
-        # 128-lane pass. The "minor16"/"minor32" form below goes through
-        # (M, C, S) intermediates whose minor dim is 16/32 lanes (7/8 or
-        # 3/4 of every vreg AND store wasted) plus a sublane->lane
-        # relayout reshape. Bit-exact to each other
-        # (tests/test_rowvol.py); pick by measurement.
+        # Pure 128-lane select tree: the per-lane component value is
+        # picked by a log2(C)-deep where chain on constant lane-index
+        # masks -- everything fuses into ONE 128-lane pass. The
+        # "minor16"/"minor32" form below goes through (M, C, S)
+        # intermediates whose minor dim is 16/32 lanes (7/8 or 3/4 of
+        # every vreg AND store wasted) plus a sublane->lane relayout
+        # reshape. Bit-exact to each other (tests/test_rowvol.py); pick
+        # by measurement.
         lane = jax.lax.broadcasted_iota(jnp.int32, (n, 128), 1)
-
-        def pick(vals, width):
-            # vals (n, C) -> (n, 128) with out[:, l] = vals[:, l // width]
-            cols = [vals[:, i:i + 1] for i in range(vals.shape[1])]
-            step = width
-            while len(cols) > 1:
-                nxt = []
-                for i in range(0, len(cols), 2):
-                    m = (lane & step) == 0
-                    nxt.append(jnp.where(m, cols[i], cols[i + 1]))
-                cols = nxt
-                step *= 2
-            return cols[0]
-
-        upd = jnp.where((lane & 15) == b.sgs[:, None],
-                        pick(b.vals8, 16), 0.0)
-        geo = geo.at[b.rows].add(upd)
-
-        if b.kvals is None:
-            return geo, key
-        kupd = jnp.where((lane & 31) == b.ksl[:, None],
-                         pick(b.kvals, 32), 0)
-        key = key.at[b.k_rows].max(kupd)
-        return geo, key
-
-    # geo slot row: lane = 16*c + sgs, ONE (M, 128) scatter-add for all
-    # four (y, z) corners' (num, w)
+        return jnp.where((lane & 15) == sgs[:, None],
+                         _pick_lane(vals8, 16, lane), 0.0)
     hg = (jax.lax.broadcasted_iota(
-        jnp.int32, (n, 8, 16), 2) == b.sgs[:, None, None])
-    upd = jnp.where(hg, b.vals8[:, :, None], 0.0).reshape(-1, 128)
-    geo = geo.at[b.rows].add(upd)
+        jnp.int32, (n, 8, 16), 2) == sgs[:, None, None])
+    return jnp.where(hg, vals8[:, :, None], 0.0).reshape(-1, 128)
+
+
+def _build_key_update(ksl, kvals):
+    """(M,) slot + (M, 4) masked keys -> (M, 128) scatter-max rows
+    (lane = 32*c + slot)."""
+    n = kvals.shape[0]
+    if UPDATE_BUILD == "lane128":
+        lane = jax.lax.broadcasted_iota(jnp.int32, (n, 128), 1)
+        return jnp.where((lane & 31) == ksl[:, None],
+                         _pick_lane(kvals, 32, lane), 0)
+    hk = (jax.lax.broadcasted_iota(
+        jnp.int32, (n, 4, 32), 2) == ksl[:, None, None])
+    return jnp.where(hk, kvals[:, :, None], 0).reshape(-1, 128)
+
+
+def _pick_lane(vals, width, lane):
+    # vals (n, C) -> (n, 128) with out[:, l] = vals[:, l // width]
+    cols = [vals[:, i:i + 1] for i in range(vals.shape[1])]
+    step = width
+    while len(cols) > 1:
+        nxt = []
+        for i in range(0, len(cols), 2):
+            m = (lane & step) == 0
+            nxt.append(jnp.where(m, cols[i], cols[i + 1]))
+        cols = nxt
+        step *= 2
+    return cols[0]
+
+
+def _merge_runs(rows, upd, t, combine, neutral):
+    """Merge runs of equal consecutive rows within each length-t tail:
+    the run head's update becomes combine() of the whole run, the rest
+    re-target row 0 with ``neutral`` values. A suffix segmented combine
+    -- t-1 fused (b, 128) where+combine steps, no (t, t) matmul."""
+    b = rows.shape[0] // t
+    r = rows.reshape(b, t)
+    u = upd.reshape(b, t, 128)
+    s = [u[:, i] for i in range(t)]
+    same = [r[:, i + 1] == r[:, i] for i in range(t - 1)]
+    for i in range(t - 2, -1, -1):
+        s[i] = combine(s[i], jnp.where(same[i][:, None], s[i + 1], neutral))
+    out, rout = [s[0]], [r[:, 0]]
+    for i in range(1, t):
+        head = ~same[i - 1]
+        out.append(jnp.where(head[:, None], s[i], neutral))
+        rout.append(jnp.where(head, r[:, i], 0))
+    return (jnp.stack(rout, 1).reshape(-1),
+            jnp.stack(out, 1).reshape(b * t, 128))
+
+
+def _integrate_block(geo, key, b: _UpdateBlock, t_merge: int = 0):
+    upd = _build_geo_update(b.sgs, b.vals8)
+    rows = b.rows
+    if t_merge > 1:
+        rows, upd = _merge_runs(rows, upd, t_merge, jnp.add,
+                                jnp.float32(0))
+    geo = geo.at[rows].add(upd)
 
     if b.kvals is None:
         return geo, key
-
-    # key slot row: lane = 32*c + ksl, ONE (M, 128) scatter-max
-    hk = (jax.lax.broadcasted_iota(
-        jnp.int32, (b.kvals.shape[0], 4, 32), 2) == b.ksl[:, None, None])
-    kupd = jnp.where(hk, b.kvals[:, :, None], 0).reshape(-1, 128)
-    key = key.at[b.k_rows].max(kupd)
+    kupd = _build_key_update(b.ksl, b.kvals)
+    krows = b.k_rows
+    if t_merge > 1:
+        # keys are >= 0, so 0 is the max-neutral element
+        krows, kupd = _merge_runs(krows, kupd, t_merge, jnp.maximum,
+                                  jnp.int32(0))
+    key = key.at[krows].max(kupd)
     return geo, key
 
 
@@ -765,8 +812,10 @@ def integrate_rows(geo, key, cr: CornerRows, values, sem_key, ray_mask,
 
     m = blk.rows.shape[0]
     kch = _nchunks(m, chunk * 2 * t)
+    # run-merge only when every chunk holds whole (ray, x-corner) tails
+    t_merge = t if (MERGE_DUP and (m // kch) % t == 0) else 0
     if kch == 1:
-        return _integrate_block(geo, key, blk)
+        return _integrate_block(geo, key, blk, t_merge)
     blkk = jax.tree_util.tree_map(
         lambda a: a.reshape((kch, m // kch) + a.shape[1:]), blk)
 
@@ -776,5 +825,5 @@ def integrate_rows(geo, key, cr: CornerRows, values, sem_key, ray_mask,
     # Unrolled, each scatter aliases its input buffer in place.
     for i in range(kch):
         bc = jax.tree_util.tree_map(lambda a: a[i], blkk)
-        geo, key = _integrate_block(geo, key, bc)
+        geo, key = _integrate_block(geo, key, bc, t_merge)
     return geo, key

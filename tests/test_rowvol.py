@@ -264,3 +264,49 @@ def test_update_build_modes_bit_identical():
         RV.UPDATE_BUILD = orig
     np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
     np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+
+
+@pytest.mark.parametrize("chunk", [0, 64])
+def test_merge_dup_equivalent(chunk):
+    """MERGE_DUP pre-combines duplicate consecutive slot rows within each
+    (ray, x-corner) tail before the scatters. Not bit-exact for geo (the
+    duplicate contributions are pre-summed in a different association
+    order -> allclose); keys are bit-exact (max is associative and
+    idempotent). Pad rows (geo row 0) must stay zero."""
+    from segfusion_tpu.ops import integrate as integ
+    from segfusion_tpu.ops import rowvol as RV
+
+    rng = np.random.RandomState(13)
+    num, w, key = _state(rng)
+    L = RowLayout.for_shape(SHAPE)
+    n, p, t = 128, 6, 4
+    pts = _points(rng, n, p, SHAPE)
+    # make tails duplicate-heavy: samples step ~0.3 voxels along z, so
+    # consecutive tail samples share the geo z-group most of the time
+    pts = pts.at[:, 1:, :].set(
+        pts[:, :1, :] + 0.3 * np.arange(1, p)[None, :, None])
+    values = jnp.asarray(rng.randn(n, t).astype(np.float32) * 0.1)
+    ids = jnp.asarray(rng.randint(1, 9, n).astype(np.uint8))
+    scores = jnp.asarray(rng.rand(n).astype(np.float32))
+    mask = jnp.asarray(rng.rand(n) > 0.3)
+    sem_key = integ.pack_semantic_key(scores, ids)
+    geo, krows = rows_from_volume(num, w, key, L)
+    cr = corner_rows(pts, L)
+    kw = {"chunk": chunk} if chunk else {}
+
+    orig = RV.MERGE_DUP
+    try:
+        RV.MERGE_DUP = False
+        g1, k1 = integrate_rows(geo, krows, cr, values, sem_key, mask,
+                                n_tail=t, **kw)
+        RV.MERGE_DUP = True
+        g2, k2 = integrate_rows(geo, krows, cr, values, sem_key, mask,
+                                n_tail=t, **kw)
+    finally:
+        RV.MERGE_DUP = orig
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=3e-5, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+    # writer invariant: the y=-1 pad rows that absorb merged leftovers
+    # must still be exactly zero
+    assert float(np.abs(np.asarray(g2)[0]).max()) == 0.0
