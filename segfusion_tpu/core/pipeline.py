@@ -407,7 +407,13 @@ class Pipeline:
             prev_shadow, dirty = shadow_carry
             shadow = rowvol.build_shadow_dirty(rv.geo, prev_shadow, dirty,
                                                layout, impl=self.rows_impl)
-            new_carry = (shadow, rowvol.dirty_tile_mask(points_v, layout))
+            # tail slice only: the integrate scatters use
+            # cr.*rows[:, :, :t] and corner_rows is pointwise, so tiles
+            # touched by samples beyond the tail are never written --
+            # masking on the tail keeps the bit-level conservativeness
+            # guarantee while marking fewer tiles dirty
+            new_carry = (shadow, rowvol.dirty_tile_mask(
+                points_v[:, :self.n_tail_points], layout))
         else:
             shadow = rowvol.build_shadow(rv.geo, layout,
                                          impl=self.rows_impl)
