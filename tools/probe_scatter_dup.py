@@ -89,6 +89,31 @@ def main():
 
     timed("F key scatter-max random", scatmax, kstate, krows, kupd)
 
+    # Same structure question for the extraction GATHER: consecutive
+    # tail samples read the same shadow row (shadow z-groups span 32
+    # voxels), so if gather cost follows distinct rows, deduping in-tail
+    # gather rows (gather once, fan out with t-1 selects) pays the same
+    # way the scatter merge would.
+    S = 2_809_856            # shadow_rows at 448^3
+    src = jnp.asarray(rng.randint(0, 1 << 30, (S, 128)).astype(np.int32))
+
+    @jax.jit
+    def gath(src, rows):
+        return src[rows]
+
+    g_rand = jnp.asarray(rng.randint(0, S, size=M).astype(np.int32))
+    gbase = rng.randint(0, S, size=(M + L - 1) // L).astype(np.int32)
+    g_runs = jnp.asarray(np.repeat(gbase, L)[:M])
+    keepg = rng.rand(M) > 0.5
+    g_d50 = jnp.asarray(np.where(keepg, np.asarray(g_rand), 0)
+                        .astype(np.int32))
+    g_c = jnp.asarray(rng.randint(0, S, size=M // 3).astype(np.int32))
+
+    timed("G gather random rows", gath, src, g_rand)
+    timed(f"H gather runs of {L}", gath, src, g_runs)
+    timed("I gather 50% row-0", gath, src, g_d50)
+    timed("J gather compacted M/3", gath, src, g_c)
+
 
 if __name__ == "__main__":
     main()
