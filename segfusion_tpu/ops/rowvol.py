@@ -99,6 +99,15 @@ UPDATE_BUILD = "minor16"
 # equivalence is allclose (tests/test_rowvol.py).
 MERGE_DUP = False
 
+# In-tail gather dedup for extraction: consecutive samples along a ray
+# usually read the SAME shadow row (shadow z-groups span 32 voxels).
+# When on, duplicate consecutive gather rows within each (x-corner, ray)
+# tail are re-targeted at row 0 and the gathered values forward-filled
+# with p-1 fused (2n, 128) selects. BIT-EXACT (reusing a gathered row ==
+# re-gathering it); pays only if XLA TPU gather cost follows distinct-row
+# structure (tools/probe_scatter_dup.py cases G-J, probe_extract_variants).
+GATHER_DEDUP = False
+
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
@@ -530,7 +539,21 @@ def _extract_block(shadow, cr: CornerRows, init_value: float,
     # lane-2 broadcasts anywhere (see CornerRows docstring).
     n, p = cr.ksl.shape
     m = n * p
-    rows = jnp.take(shadow, cr.k_rows.reshape(-1), axis=0)   # (2m, 128)
+    idx = cr.k_rows.reshape(-1)
+    if GATHER_DEDUP and p > 1:
+        i3 = idx.reshape(2 * n, p)
+        same = i3[:, 1:] == i3[:, :-1]                       # (2n, p-1)
+        idd = jnp.concatenate(
+            [i3[:, :1], jnp.where(same, 0, i3[:, 1:])], axis=1)
+        g = jnp.take(shadow, idd.reshape(-1),
+                     axis=0).reshape(2 * n, p, 128)
+        cols = [g[:, 0]]
+        for k in range(1, p):
+            cols.append(jnp.where(same[:, k - 1][:, None],
+                                  cols[-1], g[:, k]))
+        rows = jnp.stack(cols, axis=1).reshape(2 * m, 128)
+    else:
+        rows = jnp.take(shadow, idx, axis=0)                 # (2m, 128)
     slf = cr.ksl.reshape(-1)
     sl2 = jnp.concatenate([slf, slf])[:, None]               # (2m, 1)
 

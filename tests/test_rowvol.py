@@ -266,6 +266,38 @@ def test_update_build_modes_bit_identical():
     np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
 
 
+def test_gather_dedup_bit_identical():
+    """GATHER_DEDUP re-targets duplicate consecutive in-tail gather rows
+    at row 0 and forward-fills the gathered values -- must be bit-exact
+    (reusing a gathered row == re-gathering it)."""
+    from segfusion_tpu.ops import rowvol as RV
+
+    rng = np.random.RandomState(17)
+    num, w, key = _state(rng)
+    L = RowLayout.for_shape(SHAPE)
+    n, p = 96, 6
+    pts = _points(rng, n, p, SHAPE)
+    # duplicate-heavy tails (samples ~0.4 voxels apart along z)
+    pts = pts.at[:, 1:, :].set(
+        pts[:, :1, :] + 0.4 * np.arange(1, p)[None, :, None])
+    geo, _ = rows_from_volume(num, w, key, L)
+    shadow = build_shadow(geo, L)
+    cr = corner_rows(pts, L)
+
+    orig = RV.GATHER_DEDUP
+    try:
+        RV.GATHER_DEDUP = False
+        fv1, fw1 = extract_rows(shadow, cr, 0.1,
+                                geometry.INVALID_TSDF_FILL)
+        RV.GATHER_DEDUP = True
+        fv2, fw2 = extract_rows(shadow, cr, 0.1,
+                                geometry.INVALID_TSDF_FILL)
+    finally:
+        RV.GATHER_DEDUP = orig
+    np.testing.assert_array_equal(np.asarray(fv1), np.asarray(fv2))
+    np.testing.assert_array_equal(np.asarray(fw1), np.asarray(fw2))
+
+
 @pytest.mark.parametrize("chunk", [0, 64])
 def test_merge_dup_equivalent(chunk):
     """MERGE_DUP pre-combines duplicate consecutive slot rows within each

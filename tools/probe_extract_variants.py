@@ -139,6 +139,7 @@ def main():
     def runner(mode):
         if mode < 0:
             rowvol._extract_block = orig_block
+            rowvol.GATHER_DEDUP = (mode == -2)
         else:
             rowvol._extract_block = (
                 lambda sh, cr, iv, fl: variant_block(sh, cr, iv, fl, mode))
@@ -156,11 +157,13 @@ def main():
             return acc + jnp.float32(jnp.sum(sh[::65536, ::64]))
         out = f(shadow, crs)   # trace with the patch active
         rowvol._extract_block = orig_block
+        rowvol.GATHER_DEDUP = False
         return f, out
 
     ref = None
     for mode, name in ((-1, "extract_rows(now)"), (0, "v0 4-quarter"),
-                       (1, "v1 one-select"), (2, "v2 reshape-sum")):
+                       (1, "v1 one-select"), (2, "v2 reshape-sum"),
+                       (-2, "dedup-gather")):
         fn, out = runner(mode)
         out = float(out)
         if ref is None:
