@@ -46,10 +46,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_ty(Y: int, max_ty: int = 56) -> int:
+def _pick_ty(Y: int, max_ty=None) -> int:
     """Kept in sync with rowvol.pick_ty (the dirty-tile mask must use the
     same tiling as the kernels; rowvol imports this module lazily, so the
-    single definition lives there)."""
+    single definition -- and the shared SHADOW_MAX_TY default -- lives
+    there)."""
     from ..rowvol import pick_ty
     return pick_ty(Y, max_ty)
 
@@ -190,7 +191,7 @@ def _kernel(geo_hbm, out_ref, slab, sem, *, TY, Y, G, GK, NJ, N, interp):
 
 
 def build_shadow_pallas(geo: jnp.ndarray, layout, interpret: bool = False,
-                        max_ty: int = 56) -> jnp.ndarray:
+                        max_ty=None) -> jnp.ndarray:
     """Drop-in Pallas replacement for ``rowvol.build_shadow`` (bit-exact:
     same reconcile arithmetic, same f32->bf16 RTNE packing)."""
     L = layout
@@ -287,7 +288,7 @@ def _dirty_kernel(dirty_ref, geo_hbm, prev_hbm, out_hbm, slab, outbuf,
 def build_shadow_dirty_pallas(geo: jnp.ndarray, prev_shadow: jnp.ndarray,
                               dirty: jnp.ndarray, layout,
                               interpret: bool = False,
-                              max_ty: int = 56) -> jnp.ndarray:
+                              max_ty=None) -> jnp.ndarray:
     """Pallas implementation of ``rowvol.build_shadow_dirty``:
     ``prev_shadow`` is donated/aliased into the output; only tiles with a
     nonzero ``dirty`` flag are recomputed from ``geo``. ``dirty`` is
@@ -376,7 +377,7 @@ def _reconcile_kernel(geo_hbm, num_ref, w_ref, slab, sem,
 
 
 def reconcile_slot_pallas(geo: jnp.ndarray, layout,
-                          interpret: bool = False, max_ty: int = 56):
+                          interpret: bool = False, max_ty=None):
     """Slot geo state -> canonical (num, w) of shape (X, Y, Z); the
     on-device counterpart of rowvol._reconcile_slot."""
     L = layout

@@ -108,6 +108,15 @@ MERGE_DUP = False
 # structure (tools/probe_scatter_dup.py cases G-J, probe_extract_variants).
 GATHER_DEDUP = False
 
+# Shadow-build y-tile height cap, shared by the dirty-tile mask and BOTH
+# Pallas kernels (they must tile identically or the mask indexes the
+# wrong tiles). The dirty rebuild issues ~2 DMAs per dirty tile at
+# ~2-3 us each, so at high dirty-tile counts a taller tile (fewer,
+# larger copies) can win despite coarser mask granularity -- sweep on
+# TPU with tools/probe_dirty_shadow.py. VMEM bounds the ceiling (the
+# shadow compute temps are ~(TY, GK, 128) f32 x ~8 live).
+SHADOW_MAX_TY = 56
+
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
@@ -320,9 +329,12 @@ def build_shadow(geo, layout: RowLayout, impl: Optional[str] = None
     return shadow_from_canonical(num, w, layout)
 
 
-def pick_ty(Y: int, max_ty: int = 56) -> int:
+def pick_ty(Y: int, max_ty: Optional[int] = None) -> int:
     """Shadow-kernel y-tile height: the largest divisor of Y <= max_ty
-    (shared by the Pallas kernel grid and the dirty-tile mask)."""
+    (default SHADOW_MAX_TY; shared by the Pallas kernel grid and the
+    dirty-tile mask)."""
+    if max_ty is None:
+        max_ty = SHADOW_MAX_TY
     for ty in range(min(max_ty, Y), 0, -1):
         if Y % ty == 0:
             return ty

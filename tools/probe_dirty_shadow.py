@@ -18,12 +18,14 @@ import jax
 import jax.numpy as jnp
 
 
-def main():
+def main(max_ty=None):
     import bench as B
     from segfusion_tpu.core.volume import init_scene_volume
     from segfusion_tpu.data.synthetic import SyntheticScene
     from segfusion_tpu.ops import geometry, rowvol
 
+    if max_ty is not None:
+        rowvol.SHADOW_MAX_TY = max_ty
     h = w = 256
     n_points = 9
     scene = SyntheticScene(seed=0, half=2.2)
@@ -124,4 +126,18 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    if len(sys.argv) > 1:
+        # TY sweep: the dirty rebuild is ~2 DMA issues per dirty tile, so
+        # tile height trades issue count against mask granularity (and
+        # VMEM: the compute temps scale with TY -- a failed compile at
+        # 112+ is itself the answer).
+        for ty in [int(a) for a in sys.argv[1:]]:
+            print(f"===== SHADOW_MAX_TY = {ty} =====", flush=True)
+            try:
+                main(ty)
+            except Exception as e:
+                print(f"TY {ty} failed: {type(e).__name__}: {e}",
+                      flush=True)
+    else:
+        main()

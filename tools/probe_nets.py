@@ -57,6 +57,47 @@ def main():
         print(f"stack_heads={stack}: {best / 32 * 1e3:7.2f} ms/frame",
               flush=True)
 
+    # Per-net attribution (unstacked config): which of the two nets owns
+    # the stage -- gates whether a fused Pallas FusionNet executor (the
+    # small-channel conv stack pays a per-op floor in XLA) is worth it.
+    cfg = B.build_config(h, w)
+    pipe, params_stats, seg_params = B.build_pipeline(cfg, h, w)
+    params, batch_stats = params_stats
+
+    def adapnet_only(frs):
+        def body(c, fr):
+            sem_ids, scores = pipe._predict_semantics(
+                seg_params, fr["image"], fr["depth_input"])
+            return c + jnp.sum(scores) + jnp.sum(sem_ids), None
+        return jax.lax.scan(body, jnp.float32(0), frs)[0]
+
+    def fusionnet_only(frs):
+        def body(c, fr):
+            depth = fr["depth"]
+            inputs = {
+                "tsdf_values": depth[None, ..., None]
+                * jnp.ones((1, h, w, pipe.n_points)) * 0.01,
+                "tsdf_weights": depth[None, ..., None]
+                * jnp.ones((1, h, w, pipe.n_points)),
+                "tsdf_frame": depth.reshape(1, h, w, 1),
+                "semantic_frame": depth.reshape(1, h, w, 1) * 0.03,
+            }
+            est, _ = pipe._network_estimate(params, batch_stats, inputs,
+                                            train=False, rng=None)
+            return c + jnp.sum(est), None
+        return jax.lax.scan(body, jnp.float32(0), frs)[0]
+
+    for name, f in (("adapnet only", adapnet_only),
+                    ("fusionnet only", fusionnet_only)):
+        fn = jax.jit(f)
+        float(fn(stacked_frames))
+        best = 1e30
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(fn(stacked_frames))
+            best = min(best, time.perf_counter() - t0)
+        print(f"{name}: {best / 32 * 1e3:7.2f} ms/frame", flush=True)
+
 
 if __name__ == "__main__":
     main()
