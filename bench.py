@@ -204,6 +204,8 @@ def _stream_rows(pipe, params_stats, volume, frames, seg_params,
 
 def bench_headline():
     cfg, pipe, params_stats, seg_params, volume, frames = _headline_setup()
+    # fold once for the matmul-form inference executor (bf16 configs)
+    params_stats = pipe.prepare_params(*params_stats)
     fps, _ = _stream_rows(pipe, params_stats, volume, frames, seg_params)
 
     return {
@@ -236,6 +238,7 @@ def bench_speed():
     cfg.FUSION_MODEL.use_semantics = False
     pipe = Pipeline(cfg)
     params, stats = pipe.init_fusion_params(jax.random.PRNGKey(0), h, w)
+    params, stats = pipe.prepare_params(params, stats)
 
     scene = SyntheticScene(seed=0, half=2.2)
     vshape = (64,) * 3 if _TINY else (448, 448, 448)
@@ -276,6 +279,7 @@ def bench_multi512():
     n_scenes = 2
     cfg = build_config(h, w)
     pipe, params_stats, seg_params = build_pipeline(cfg, h, w)
+    params_stats = pipe.prepare_params(*params_stats)
 
     # two 3.2m scenes at 1cm share the chip
     vshape = (64,) * 3 if _TINY else (320, 320, 320)

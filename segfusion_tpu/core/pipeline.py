@@ -121,6 +121,20 @@ class Pipeline:
         self.dirty_shadow = self.row_path and config.SETTINGS.get(
             "dirty_shadow", "on") != "off"
 
+        # folded-BN matmul executor for v3 inference (models/
+        # fusionnet_fast): "auto" enables it on the bf16 compute path
+        # (the TPU perf configuration; f32 runs keep the Flax forward so
+        # reference-parity goldens are byte-for-byte unaffected).
+        fused = config.SETTINGS.get("fused_net", "auto")
+        is_bf16 = config.FUSION_MODEL.get("compute_dtype") in (
+            "bfloat16", "bf16")
+        self.fused_net = (
+            config.FUSION_MODEL.name == "v3"
+            and not bool(config.FUSION_MODEL.get("stack_heads", False))
+            and (fused == "on" or (fused == "auto" and is_bf16)))
+        self.fused_dtype = jnp.bfloat16 if is_bf16 else jnp.float32
+        self.fused_conv3x3 = config.SETTINGS.get("fused_conv3x3", "dots9")
+
         self.fusion_net = build_fusion_net(config.FUSION_MODEL)
         # segmenter: optional object with .apply_fn(params, image, depth)
         # -> (h, w, C) logits, used when semantic_strategy == 'predict'
@@ -141,7 +155,31 @@ class Pipeline:
 
     # -- shared core ----------------------------------------------------------
 
+    def prepare_params(self, params, batch_stats):
+        """Fold ``(params, batch_stats)`` for the inference fast path
+        (models/fusionnet_fast) when enabled -- call ONCE per stream,
+        outside the frame scan, so the fold doesn't re-run per frame.
+        Returns a ``params_and_stats`` pytree accepted by every fuse
+        step; a no-op passthrough when the fast path is off. Training
+        steps always need the RAW tuple (autodiff through the Flax
+        forward)."""
+        if not self.fused_net:
+            return params, batch_stats
+        from ..models import fusionnet_fast as ff
+        cfgm = self.config.FUSION_MODEL
+        folded = ff.fold_v3(params, batch_stats,
+                            growth_factor=int(cfgm.growth_factor),
+                            use_semantics=self.use_semantics,
+                            n_points=self.n_points,
+                            output_scale=float(cfgm.output_scale))
+        return folded, batch_stats
+
     def _network_estimate(self, params, batch_stats, inputs, train, rng):
+        if isinstance(params, dict) and "meta" in params and not train:
+            from ..models import fusionnet_fast as ff
+            est = ff.apply_v3(params, inputs, dtype=self.fused_dtype,
+                              conv3x3=self.fused_conv3x3)
+            return est[..., : self.n_points], batch_stats
         variables = {"params": params, "batch_stats": batch_stats}
         if train:
             out, mutated = self.fusion_net.apply(
@@ -807,6 +845,7 @@ class Pipeline:
         (~130 ms per boundary at 448^3) are paid once per scene instead
         of once per chunk. Bit-identical to per-frame :meth:`fuse`."""
         import numpy as np
+        params, batch_stats = self.prepare_params(params, batch_stats)
         pending: Dict[str, list] = {}
         rowstate: Dict[str, tuple] = {}
 
@@ -861,8 +900,9 @@ class Pipeline:
         scene_id = self._scene_of(batch)
         frame = self._frame_from_batch(batch, self.config.DATA.input)
         volume = database.volumes[scene_id]
-        new_volume = self._step_fuse((params, batch_stats), volume, frame,
-                                     seg_params)
+        new_volume = self._step_fuse(self.prepare_params(params,
+                                                         batch_stats),
+                                     volume, frame, seg_params)
         database.update(scene_id, new_volume)
 
     def fuse_training(self, batch, database, params, batch_stats,

@@ -1,0 +1,306 @@
+"""Folded-BN matmul-form inference executor for FusionNet v3.
+
+Why this exists (measured on the v5e relay, tools/probe_nets.py /
+probe_conv_layout.py): FusionNet v3 gf6 is ~85 SMALL-channel convs
+(C = 19..570 at 256^2), and XLA's conv op pays a ~200-250 us/op floor at
+these widths regardless of formulation (NHWC / NCHW / conv-as-matmul all
+equal) -- the stage costs ~18.5 ms while its arithmetic is ~33 G MACs
+(~0.3 ms at MXU peak). This executor re-expresses the whole inference
+forward as a chain of lax.dot_general matmuls over flat (P, C)
+activation matrices with all BatchNorm/bias/activation epilogues FOLDED:
+
+* inference BatchNorm is an affine map, folded into the conv weights at
+  build time: W' = W * s, b' = (b - mean) * s + beta with
+  s = gamma / sqrt(var + eps) -- zero runtime cost, removes ~80
+  elementwise ops and their relayouts;
+* 1x1 convs (47 of the 85 -- including every FLOP-heavy op) become single
+  (P, Cin) x (Cin, Cout) matmuls;
+* 3x3 convs (dilated rates 1/3/9/27) become either 9 shift-sliced
+  matmuls accumulated in f32 ("dots9") or one im2col matmul with the 9
+  taps concatenated into the contracted dim ("im2col", amortising the
+  K-dim 128-padding: K = 9*19 = 171 instead of 19) -- pick by
+  measurement (tools/probe_fastnet.py);
+* activations stay bf16 end-to-end with f32 matmul accumulation
+  (preferred_element_type), epilogues (bias + leaky_relu/relu/tanh) run
+  in f32 on the accumulator before the bf16 cast -- numerically at least
+  as precise as the Flax bf16 path (which rounds to bf16 between conv,
+  bias and BN).
+
+The executor consumes extraction outputs DIRECTLY in their native
+(P, C) column layout (tsdf values/weights are (n_rays, n_points) from
+rowvol.extract_rows) -- no NHWC reshape / relayout between extraction
+and the net (the input-prep gap flagged in round 2's review).
+
+Training keeps the Flax module (autodiff, dropout, BN stat updates);
+this path is inference-only and is verified against the Flax forward by
+tests/test_fastnet.py (f32: near-exact; bf16: both paths are bf16
+roundings of the same math).
+
+Reference semantics reproduced: modules/model.py:219-282 (FusionNet_v3),
+modules/model.py:100-161 (VortexPooling), modules/model.py:4-52
+(Block/Pred) of /root/reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["fold_v3", "apply_v3", "FastV3", "V3Meta"]
+
+
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True)
+class V3Meta:
+    """Static (treedef-side) model facts: the folded tree is passed INTO
+    jitted fuse steps as an argument, so these must not become traced
+    leaves (they drive Python control flow in apply_v3)."""
+    gf: int
+    use_semantics: bool
+    n_points: int
+    output_scale: float
+
+_LEAKY_SLOPE = 0.01
+_BN_EPS = 1e-5
+
+
+# -- BN folding ---------------------------------------------------------------
+
+def _fold_conv_bn(conv, bn=None, eps=_BN_EPS, bn_stats=None):
+    """(kernel, bias) with inference-BN folded in. ``conv`` is the Flax
+    param dict {kernel (kh, kw, Cin, Cout), bias}; ``bn``/``bn_stats``
+    the BatchNorm params {scale, bias} / stats {mean, var}."""
+    k = jnp.asarray(conv["kernel"], jnp.float32)
+    b = jnp.asarray(conv["bias"], jnp.float32)
+    if bn is not None:
+        s = jnp.asarray(bn["scale"], jnp.float32) / jnp.sqrt(
+            jnp.asarray(bn_stats["var"], jnp.float32) + eps)
+        k = k * s                                   # broadcast over Cout
+        b = (b - jnp.asarray(bn_stats["mean"], jnp.float32)) * s \
+            + jnp.asarray(bn["bias"], jnp.float32)
+    if k.ndim == 4 and k.shape[0] == 1 and k.shape[1] == 1:
+        k = k[0, 0]                                 # 1x1 conv -> (Cin, Cout)
+    return k, b
+
+
+def _w2d(kernel):
+    """(kh, kw, Cin, Cout) -> per-tap (Cin, Cout) list (row-major taps)."""
+    kh, kw = kernel.shape[0], kernel.shape[1]
+    return [kernel[i, j] for i in range(kh) for j in range(kw)]
+
+
+# -- runtime ops --------------------------------------------------------------
+
+def _dot(x, w):
+    """(..., Cin) x (Cin, Cout) matmul with f32 accumulation."""
+    return jax.lax.dot_general(x, w, (((x.ndim - 1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _epilogue(acc, b, act, dtype):
+    y = acc + b
+    if act == "leaky":
+        y = jnp.where(y >= 0, y, _LEAKY_SLOPE * y)
+    elif act == "relu":
+        y = jnp.maximum(y, 0.0)
+    elif act == "tanh":
+        return jnp.tanh(y)                          # stays f32 (output)
+    return y.astype(dtype)
+
+
+def _conv1x1(x, wb, act, dtype):
+    w, b = wb
+    return _epilogue(_dot(x, w.astype(x.dtype)), b, act, dtype)
+
+
+def _conv3x3(x, wb, rate, act, dtype, mode):
+    """x: (H, W, Cin). Zero-padded SAME conv with kernel dilation
+    ``rate``; taps row-major like the Flax/torch kernel."""
+    w, b = wb
+    H, W, Cin = x.shape
+    d = rate
+    xp = jnp.pad(x, ((d, d), (d, d), (0, 0)))
+    taps = [xp[i * d:i * d + H, j * d:j * d + W]
+            for i in range(3) for j in range(3)]
+    if mode == "im2col":
+        t = jnp.concatenate(taps, axis=-1)          # (H, W, 9*Cin)
+        wt = w.reshape(9 * Cin, -1)
+        acc = _dot(t, wt.astype(x.dtype))
+    else:                                           # "dots9"
+        wt = _w2d(w)
+        acc = _dot(taps[0], wt[0].astype(x.dtype))
+        for t, wk in zip(taps[1:], wt[1:]):
+            acc = acc + _dot(t, wk.astype(x.dtype))
+    return _epilogue(acc, b, act, dtype)
+
+
+def _avg_pool_3x3(x):
+    """count_include_pad 3x3/1/1 average (matches models.fusionnet)."""
+    s = jax.lax.reduce_window(x, jnp.zeros((), x.dtype), jax.lax.add,
+                              (3, 3, 1), (1, 1, 1), "SAME")
+    return s / jnp.asarray(9.0, x.dtype)
+
+
+# -- folding the full model ---------------------------------------------------
+
+def _fold_block(p, s, name):
+    """Block: 2 x (conv3x3 -> BN -> leaky -> dropout)."""
+    return [
+        _fold_conv_bn(p[name][f"Conv_{i}"], p[name][f"BatchNorm_{i}"],
+                      bn_stats=s[name][f"BatchNorm_{i}"])
+        for i in range(2)
+    ]
+
+
+def _fold_vortex(p, s, name):
+    pv, sv = p[name], s[name]
+
+    def cb(i):
+        return _fold_conv_bn(pv[f"Conv_{i}"], pv[f"BatchNorm_{i}"],
+                             bn_stats=sv[f"BatchNorm_{i}"])
+
+    return {
+        "global": cb(0),
+        "branches": [[cb(4 * bi + 1), cb(4 * bi + 2), cb(4 * bi + 3),
+                      cb(4 * bi + 4)] for bi in range(4)],
+        "final": cb(17),
+    }
+
+
+def _fold_pred(p, s, name, last):
+    pp, sp = p[name], s[name]
+    if not last:
+        return [_fold_conv_bn(pp[f"Conv_{i}"], pp[f"BatchNorm_{i}"],
+                              bn_stats=sp[f"BatchNorm_{i}"])
+                for i in range(2)]
+    return [_fold_conv_bn(pp["Conv_0"], pp["BatchNorm_0"],
+                          bn_stats=sp["BatchNorm_0"]),
+            _fold_conv_bn(pp["Conv_1"]),
+            _fold_conv_bn(pp["Conv_2"])]
+
+
+def fold_v3(params, batch_stats, *, growth_factor: int = 6,
+            use_semantics: bool = True, n_points: int = 9,
+            output_scale: float = 1.0) -> Dict[str, Any]:
+    """Fold a FusionNetV3 (unstacked heads) param/batch-stats tree into
+    the executor's weight pytree. All folded weights are f32 leaves;
+    ``apply_v3`` casts per-matmul to the compute dtype."""
+    gf = growth_factor - 1
+    p, s = params, batch_stats
+    heads = {}
+    names = (["head_tsdf", "head_sem"] if use_semantics
+             else ["FusionHead_0"])
+    for hn in names:
+        heads[hn] = {
+            "blocks": [_fold_block(p[hn], s[hn], f"Block_{i}")
+                       for i in range(gf)],
+            "vortex": _fold_vortex(p[hn], s[hn], "VortexPooling_0"),
+        }
+    preds = [_fold_pred(p, s, f"Pred_{i}", last=(i == gf - 1))
+             for i in range(gf)]
+    return {
+        "heads": heads,
+        "vortex": _fold_vortex(p, s, "VortexPooling_0"),
+        "preds": preds,
+        "meta": V3Meta(gf=gf, use_semantics=use_semantics,
+                       n_points=n_points, output_scale=output_scale),
+    }
+
+
+# -- forward ------------------------------------------------------------------
+
+def _run_vortex(x, fw, rates, dtype, mode):
+    H, W, _ = x.shape
+    g = jnp.mean(x.astype(jnp.float32), axis=(0, 1),
+                 keepdims=True).astype(dtype)        # (1, 1, C)
+    g = _conv1x1(g, fw["global"], None, dtype)
+    g = jnp.broadcast_to(g, (H, W, g.shape[-1]))
+
+    branches = [g]
+    xp = x
+    for bi, rate in enumerate(rates):
+        inp = xp if bi == 0 else (xp := _avg_pool_3x3(xp))
+        c_in, c_d0, c_d1, c_out = fw["branches"][bi]
+        b = _conv1x1(inp, c_in, "relu", dtype)
+        b = _conv3x3(b, c_d0, rate, "relu", dtype, mode)
+        b = _conv3x3(b, c_d1, rate, "relu", dtype, mode)
+        b = _conv1x1(b, c_out, "relu", dtype)
+        branches.append(b)
+    out = jnp.concatenate(branches, axis=-1)
+    return _conv1x1(out, fw["final"], None, dtype)
+
+
+def _run_head(x, fh, dtype, mode):
+    for c0, c1 in fh["blocks"]:
+        y = _conv3x3(x, c0, 1, "leaky", dtype, mode)
+        y = _conv3x3(y, c1, 1, "leaky", dtype, mode)
+        x = jnp.concatenate([x, y], axis=-1)
+    return _run_vortex(x, fh["vortex"], (1, 3, 9, 27), dtype, mode)
+
+
+def apply_v3(folded, inputs: Dict[str, jnp.ndarray], *,
+             dtype=jnp.bfloat16, conv3x3: str = "dots9") -> jnp.ndarray:
+    """Inference forward. ``inputs`` like the Flax model's dict --
+    (1, H, W, C) NHWC or (H, W, C) -- returns (1, H*W, n_points) f32
+    (tanh output, scaled), matching Pipeline._network_estimate's shape.
+    """
+    meta = folded["meta"]
+
+    def hw(a):
+        a = jnp.asarray(a)
+        if a.ndim == 4:
+            a = a[0]
+        return a.astype(dtype)
+
+    vals = hw(inputs["tsdf_values"])
+    wts = hw(inputs["tsdf_weights"])
+    dep = hw(inputs["tsdf_frame"])
+    x_t = jnp.concatenate([vals, wts, dep], axis=-1)
+
+    if meta.use_semantics:
+        sem = hw(inputs["semantic_frame"])
+        x_s = jnp.concatenate([vals, wts, sem], axis=-1)
+        y_t = _run_head(x_t, folded["heads"]["head_tsdf"], dtype, conv3x3)
+        y_s = _run_head(x_s, folded["heads"]["head_sem"], dtype, conv3x3)
+        y = jnp.concatenate([y_t, y_s], axis=-1)
+    else:
+        y = _run_head(x_t, folded["heads"]["FusionHead_0"], dtype, conv3x3)
+
+    y = _run_vortex(y, folded["vortex"], (1, 3, 9, 27), dtype, conv3x3)
+
+    for i, pred in enumerate(folded["preds"]):
+        last = i == len(folded["preds"]) - 1
+        if not last:
+            y = _conv1x1(y, pred[0], "leaky", dtype)
+            y = _conv1x1(y, pred[1], "leaky", dtype)
+        else:
+            y = _conv1x1(y, pred[0], "leaky", dtype)
+            y = _conv1x1(y, pred[1], "leaky", dtype)
+            y = _conv1x1(y, pred[2], "tanh", dtype)     # f32 out
+
+    H, W, _ = y.shape
+    est = meta.output_scale * y
+    return est.reshape(1, H * W, meta.n_points)
+
+
+class FastV3:
+    """Convenience wrapper: fold once, apply many. Matches the call shape
+    Pipeline._network_estimate expects from the Flax net at inference."""
+
+    def __init__(self, params, batch_stats, *, growth_factor=6,
+                 use_semantics=True, n_points=9, output_scale=1.0,
+                 dtype=jnp.bfloat16, conv3x3="dots9"):
+        self.folded = fold_v3(params, batch_stats,
+                              growth_factor=growth_factor,
+                              use_semantics=use_semantics,
+                              n_points=n_points, output_scale=output_scale)
+        self.dtype = dtype
+        self.conv3x3 = conv3x3
+
+    def __call__(self, inputs):
+        return apply_v3(self.folded, inputs, dtype=self.dtype,
+                        conv3x3=self.conv3x3)
