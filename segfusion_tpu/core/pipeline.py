@@ -134,6 +134,9 @@ class Pipeline:
             and (fused == "on" or (fused == "auto" and is_bf16)))
         self.fused_dtype = jnp.bfloat16 if is_bf16 else jnp.float32
         self.fused_conv3x3 = config.SETTINGS.get("fused_conv3x3", "dots9")
+        # branch-batched vortex matmuls (6 dots vs 18 convs per vortex)
+        self.fused_pack_vortex = config.SETTINGS.get(
+            "fused_vortex", "plain") == "packed"
 
         self.fusion_net = build_fusion_net(config.FUSION_MODEL)
         # segmenter: optional object with .apply_fn(params, image, depth)
@@ -171,7 +174,8 @@ class Pipeline:
                             growth_factor=int(cfgm.growth_factor),
                             use_semantics=self.use_semantics,
                             n_points=self.n_points,
-                            output_scale=float(cfgm.output_scale))
+                            output_scale=float(cfgm.output_scale),
+                            pack_vortex=self.fused_pack_vortex)
         return folded, batch_stats
 
     def _network_estimate(self, params, batch_stats, inputs, train, rng):

@@ -156,19 +156,54 @@ def _fold_block(p, s, name):
     ]
 
 
-def _fold_vortex(p, s, name):
+def _block_diag(mats):
+    """Block-diagonal (sum Kin, sum Kout) from per-branch (Kin, Kout)."""
+    kins = [m.shape[0] for m in mats]
+    kouts = [m.shape[1] for m in mats]
+    out = jnp.zeros((sum(kins), sum(kouts)), jnp.float32)
+    ri = ci = 0
+    for m in mats:
+        out = out.at[ri:ri + m.shape[0], ci:ci + m.shape[1]].set(m)
+        ri += m.shape[0]
+        ci += m.shape[1]
+    return out
+
+
+def _pack_vortex(br):
+    """Branch-batched weights: the 4 branches' same-position convs fused
+    into block-diagonal matmuls (executed as ONE dot per position --
+    fewest ops, biggest contractions; 'packed' vortex mode)."""
+    ins, d0s, d1s, outs = zip(*br)
+
+    def taps_of(ws):
+        per = [_w2d(w) for w, _ in ws]          # 4 x [9 x (19, 19)]
+        return [_block_diag([per[b][t] for b in range(4)])
+                for t in range(9)]              # 9 x (76, 76)
+
+    return {
+        "in": (_block_diag([w for w, _ in ins]),
+               jnp.concatenate([b for _, b in ins])),
+        "d0": (taps_of(d0s), jnp.concatenate([b for _, b in d0s])),
+        "d1": (taps_of(d1s), jnp.concatenate([b for _, b in d1s])),
+        "out": (_block_diag([w for w, _ in outs]),
+                jnp.concatenate([b for _, b in outs])),
+    }
+
+
+def _fold_vortex(p, s, name, pack=False):
     pv, sv = p[name], s[name]
 
     def cb(i):
         return _fold_conv_bn(pv[f"Conv_{i}"], pv[f"BatchNorm_{i}"],
                              bn_stats=sv[f"BatchNorm_{i}"])
 
-    return {
-        "global": cb(0),
-        "branches": [[cb(4 * bi + 1), cb(4 * bi + 2), cb(4 * bi + 3),
-                      cb(4 * bi + 4)] for bi in range(4)],
-        "final": cb(17),
-    }
+    br = [[cb(4 * bi + 1), cb(4 * bi + 2), cb(4 * bi + 3),
+           cb(4 * bi + 4)] for bi in range(4)]
+    out = {"global": cb(0), "branches": br, "final": cb(17)}
+    if pack:
+        out["packed"] = _pack_vortex(br)
+        out["branches"] = None        # drop the unpacked copies
+    return out
 
 
 def _fold_pred(p, s, name, last):
@@ -185,10 +220,13 @@ def _fold_pred(p, s, name, last):
 
 def fold_v3(params, batch_stats, *, growth_factor: int = 6,
             use_semantics: bool = True, n_points: int = 9,
-            output_scale: float = 1.0) -> Dict[str, Any]:
+            output_scale: float = 1.0,
+            pack_vortex: bool = False) -> Dict[str, Any]:
     """Fold a FusionNetV3 (unstacked heads) param/batch-stats tree into
     the executor's weight pytree. All folded weights are f32 leaves;
-    ``apply_v3`` casts per-matmul to the compute dtype."""
+    ``apply_v3`` casts per-matmul to the compute dtype. ``pack_vortex``
+    builds branch-batched block-diagonal vortex weights (6 dots per
+    vortex instead of 18 convs; same math)."""
     gf = growth_factor - 1
     p, s = params, batch_stats
     heads = {}
@@ -198,13 +236,15 @@ def fold_v3(params, batch_stats, *, growth_factor: int = 6,
         heads[hn] = {
             "blocks": [_fold_block(p[hn], s[hn], f"Block_{i}")
                        for i in range(gf)],
-            "vortex": _fold_vortex(p[hn], s[hn], "VortexPooling_0"),
+            "vortex": _fold_vortex(p[hn], s[hn], "VortexPooling_0",
+                                   pack=pack_vortex),
         }
     preds = [_fold_pred(p, s, f"Pred_{i}", last=(i == gf - 1))
              for i in range(gf)]
     return {
         "heads": heads,
-        "vortex": _fold_vortex(p, s, "VortexPooling_0"),
+        "vortex": _fold_vortex(p, s, "VortexPooling_0",
+                               pack=pack_vortex),
         "preds": preds,
         "meta": V3Meta(gf=gf, use_semantics=use_semantics,
                        n_points=n_points, output_scale=output_scale),
@@ -213,7 +253,61 @@ def fold_v3(params, batch_stats, *, growth_factor: int = 6,
 
 # -- forward ------------------------------------------------------------------
 
+def _shift(xp, H, W, i, j, d, pad):
+    """(H, W, C) tap slice of ``xp`` padded by ``pad``: tap (i, j) in
+    {0,1,2}^2 at dilation d."""
+    r0 = pad + (i - 1) * d
+    c0 = pad + (j - 1) * d
+    return xp[r0:r0 + H, c0:c0 + W]
+
+
+def _run_vortex_packed(x, fw, rates, dtype, mode):
+    """Branch-batched vortex: the 4 branch stacks run as block-diagonal
+    matmuls over group-concatenated activations -- 6 dots total instead
+    of 18 convs. Bit-equivalent math to _run_vortex (the off-diagonal
+    zero blocks contribute exact zeros)."""
+    H, W, _ = x.shape
+    pk = fw["packed"]
+    g = jnp.mean(x.astype(jnp.float32), axis=(0, 1),
+                 keepdims=True).astype(dtype)
+    g = _conv1x1(g, fw["global"], None, dtype)
+    g = jnp.broadcast_to(g, (H, W, g.shape[-1]))
+
+    pools = [x]
+    for _ in range(len(rates) - 1):
+        pools.append(_avg_pool_3x3(pools[-1]))
+    xin = jnp.concatenate(pools, axis=-1)          # (H, W, 4*C)
+    y = _conv1x1(xin, pk["in"], "relu", dtype)     # (H, W, 4*mid)
+    mid = y.shape[-1] // len(rates)
+
+    pad = max(rates)
+    for key in ("d0", "d1"):
+        taps, bias = pk[key]
+        yp = jnp.pad(y, ((pad, pad), (pad, pad), (0, 0)))
+        shifted = []
+        for t in range(9):
+            i, j = divmod(t, 3)
+            s = jnp.concatenate(
+                [_shift(yp[..., b * mid:(b + 1) * mid], H, W, i, j, d,
+                        pad) for b, d in enumerate(rates)], axis=-1)
+            shifted.append(s)
+        if mode == "im2col":
+            tmat = jnp.concatenate(shifted, axis=-1)   # (H, W, 9*4*mid)
+            wt = jnp.concatenate([w for w in taps], axis=0)
+            acc = _dot(tmat, wt.astype(dtype))
+        else:
+            acc = _dot(shifted[0], taps[0].astype(dtype))
+            for s, wk in zip(shifted[1:], taps[1:]):
+                acc = acc + _dot(s, wk.astype(dtype))
+        y = _epilogue(acc, bias, "relu", dtype)
+    b = _conv1x1(y, pk["out"], "relu", dtype)      # (H, W, 4*out)
+    out = jnp.concatenate([g, b], axis=-1)
+    return _conv1x1(out, fw["final"], None, dtype)
+
+
 def _run_vortex(x, fw, rates, dtype, mode):
+    if fw.get("packed") is not None:
+        return _run_vortex_packed(x, fw, rates, dtype, mode)
     H, W, _ = x.shape
     g = jnp.mean(x.astype(jnp.float32), axis=(0, 1),
                  keepdims=True).astype(dtype)        # (1, 1, C)
@@ -293,11 +387,12 @@ class FastV3:
 
     def __init__(self, params, batch_stats, *, growth_factor=6,
                  use_semantics=True, n_points=9, output_scale=1.0,
-                 dtype=jnp.bfloat16, conv3x3="dots9"):
+                 dtype=jnp.bfloat16, conv3x3="dots9", pack_vortex=False):
         self.folded = fold_v3(params, batch_stats,
                               growth_factor=growth_factor,
                               use_semantics=use_semantics,
-                              n_points=n_points, output_scale=output_scale)
+                              n_points=n_points, output_scale=output_scale,
+                              pack_vortex=pack_vortex)
         self.dtype = dtype
         self.conv3x3 = conv3x3
 

@@ -50,9 +50,11 @@ def _setup(use_semantics, h=24, w=16, n_points=9, gf=6):
 
 @pytest.mark.parametrize("use_semantics", [True, False])
 @pytest.mark.parametrize("mode", ["dots9", "im2col"])
-def test_fastnet_matches_flax_f32(use_semantics, mode):
+@pytest.mark.parametrize("pack", [False, True])
+def test_fastnet_matches_flax_f32(use_semantics, mode, pack):
     params, stats, inputs, ref = _setup(use_semantics)
-    folded = ff.fold_v3(params, stats, use_semantics=use_semantics)
+    folded = ff.fold_v3(params, stats, use_semantics=use_semantics,
+                        pack_vortex=pack)
     got = np.asarray(ff.apply_v3(folded, inputs, dtype=jnp.float32,
                                  conv3x3=mode))
     assert got.shape == ref.shape
