@@ -62,6 +62,14 @@ def main():
                                             seg_params),
           volume, frames=32, reps=2)
 
+    # 1b. same with the folded matmul net executor (the bench default on
+    # bf16 configs -- what `python bench.py` actually runs)
+    prepped = pipe.prepare_params(*params_stats)
+    timed("fuse_sequence row path + fused net (32 frames)",
+          lambda v: pipe.fuse_sequence_impl(prepped, v, stacked,
+                                            seg_params),
+          volume, frames=32, reps=2)
+
     # 2. full flat-path sequence
     pipe.row_path = False
     timed("fuse_sequence flat path (32 frames)",
