@@ -50,6 +50,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -72,17 +73,22 @@ _EXTRACT_CHUNK = 16384    # gather temp ~ chunk*p*2*128*4B (~150 MB at
                           # state + net activations at 448^3/256^2)
 _INTEGRATE_CHUNK = 262144  # update temp ~ chunk*t*2*256*4B (~3.8 GB at t=7)
 
+# All formulation flags below are env-overridable (SEGFUSION_*) so TPU
+# A/B runs (`python bench.py --mode headline` under different env
+# combos) need no code edits; the committed defaults are the measured
+# picks.
+
 # Extraction one-hot reduce formulation; "quarter" (4 masked 32-lane
 # reduces) and "select128" (one 128-lane select + minor-axis sum) are
 # bit-exact to each other -- pick by measurement
 # (tools/probe_extract_variants.py).
-EXTRACT_REDUCE = "quarter"
+EXTRACT_REDUCE = os.environ.get("SEGFUSION_EXTRACT_REDUCE", "quarter")
 
 # Scatter update-build formulation; "minor16" (one-hot over (M, C, S)
 # minor-dim intermediates + relayout reshape) vs "lane128" (128-lane
 # select tree, no relayout). Bit-exact to each other; pick by
 # measurement (tools/probe_update_build.py).
-UPDATE_BUILD = "minor16"
+UPDATE_BUILD = os.environ.get("SEGFUSION_UPDATE_BUILD", "minor16")
 
 # In-ray duplicate-row merging before the scatters: consecutive tail
 # samples along a ray usually hit the SAME slot row (geo z-groups span
@@ -97,7 +103,7 @@ UPDATE_BUILD = "minor16"
 # probe_merge_dup.py). NOT bit-exact to the unmerged path (the duplicate
 # contributions are pre-summed in a different association order);
 # equivalence is allclose (tests/test_rowvol.py).
-MERGE_DUP = False
+MERGE_DUP = os.environ.get("SEGFUSION_MERGE_DUP", "0") == "1"
 
 # In-tail gather dedup for extraction: consecutive samples along a ray
 # usually read the SAME shadow row (shadow z-groups span 32 voxels).
@@ -106,7 +112,7 @@ MERGE_DUP = False
 # with p-1 fused (2n, 128) selects. BIT-EXACT (reusing a gathered row ==
 # re-gathering it); pays only if XLA TPU gather cost follows distinct-row
 # structure (tools/probe_scatter_dup.py cases G-J, probe_extract_variants).
-GATHER_DEDUP = False
+GATHER_DEDUP = os.environ.get("SEGFUSION_GATHER_DEDUP", "0") == "1"
 
 # Shadow-build y-tile height cap, shared by the dirty-tile mask and BOTH
 # Pallas kernels (they must tile identically or the mask indexes the
@@ -115,7 +121,7 @@ GATHER_DEDUP = False
 # larger copies) can win despite coarser mask granularity -- sweep on
 # TPU with tools/probe_dirty_shadow.py. VMEM bounds the ceiling (the
 # shadow compute temps are ~(TY, GK, 128) f32 x ~8 live).
-SHADOW_MAX_TY = 56
+SHADOW_MAX_TY = int(os.environ.get("SEGFUSION_SHADOW_TY", "56"))
 
 
 def _cdiv(a: int, b: int) -> int:
