@@ -44,8 +44,7 @@ modules/model.py:100-161 (VortexPooling), modules/model.py:4-52
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
