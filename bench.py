@@ -68,6 +68,13 @@ def build_config(h, w):
     # with it)
     if os.environ.get("SEGFUSION_FUSED_NET"):
         cfg.SETTINGS.fused_net = os.environ["SEGFUSION_FUSED_NET"]
+    # batched segmenter pre-pass over the frame chunk (on by default);
+    # SEGFUSION_SEM_PREPASS=off A/Bs the per-frame forward, _BATCH sizes it
+    if os.environ.get("SEGFUSION_SEM_PREPASS"):
+        cfg.SETTINGS.sem_prepass = os.environ["SEGFUSION_SEM_PREPASS"]
+    if os.environ.get("SEGFUSION_SEM_PREPASS_BATCH"):
+        cfg.SETTINGS.sem_prepass_batch = int(
+            os.environ["SEGFUSION_SEM_PREPASS_BATCH"])
     cfg.DATA.resx = w
     cfg.DATA.resy = h
     cfg.DATA.init_value = 0.1
@@ -425,21 +432,34 @@ def main():
     ap.add_argument("--mode", choices=list(MODES) + ["all"], default="all")
     args = ap.parse_args()
     def run_mode(mode):
-        """One retry with the Flax net forward if a mode fails with the
-        (default-on) fused executor -- a perf experiment must never sink
-        the driver artifact."""
-        try:
-            return MODES[mode]()
-        except Exception as e:
-            if os.environ.get("SEGFUSION_FUSED_NET") == "off":
-                raise
-            note(f"bench: mode {mode} failed ({e!r}); "
-                 "retrying with fused_net off")
-            os.environ["SEGFUSION_FUSED_NET"] = "off"
+        """Retry ladder disabling the default-on perf experiments one at
+        a time if a mode fails (e.g. pre-pass activation OOM at 512^2, a
+        Mosaic regression in the fused executor) -- a perf experiment
+        must never sink the driver artifact."""
+        ladder = [{}, {"SEGFUSION_SEM_PREPASS": "off"},
+                  {"SEGFUSION_FUSED_NET": "off"},
+                  {"SEGFUSION_SEM_PREPASS": "off",
+                   "SEGFUSION_FUSED_NET": "off"}]
+        # skip rungs that contradict an explicit outer env choice
+        ladder = [env for env in ladder
+                  if all(os.environ.get(k) in (None, v)
+                         for k, v in env.items())]
+        for i, env in enumerate(ladder):
+            saved = {k: os.environ.get(k) for k in env}
             try:
+                os.environ.update(env)
                 return MODES[mode]()
+            except Exception as e:
+                if i == len(ladder) - 1:
+                    raise
+                note(f"bench: mode {mode} failed ({e!r}); "
+                     f"retrying with {ladder[i + 1]}")
             finally:
-                del os.environ["SEGFUSION_FUSED_NET"]
+                for k, v in saved.items():
+                    if v is None:
+                        os.environ.pop(k, None)
+                    else:
+                        os.environ[k] = v
 
     if args.mode != "all":
         print(json.dumps(run_mode(args.mode)))

@@ -138,9 +138,21 @@ class Pipeline:
         self.fused_pack_vortex = config.SETTINGS.get(
             "fused_vortex", "plain") == "packed"
 
+        # batched semantic pre-pass: sequence scans run the 2D segmenter
+        # over the whole frame chunk BEFORE the fusion scan (the
+        # prediction depends only on the frame, never on the volume), so
+        # the ~85 AdapNet convs amortise their per-op dispatch floor over
+        # sem_prepass_batch frames instead of paying it at batch 1 inside
+        # every scan step. Per-sample numerics are unchanged (inference
+        # BN uses running stats). Disable with SETTINGS.sem_prepass: off.
+        self.sem_prepass = config.SETTINGS.get("sem_prepass", "on") != "off"
+        self.sem_prepass_batch = int(
+            config.SETTINGS.get("sem_prepass_batch", 8))
+
         self.fusion_net = build_fusion_net(config.FUSION_MODEL)
         # segmenter: optional object with .apply_fn(params, image, depth)
-        # -> (h, w, C) logits, used when semantic_strategy == 'predict'
+        # -> (h, w, C) logits (+ optional .apply_fn_batched with a
+        # leading frame axis), used when semantic_strategy == 'predict'
         self.segmenter = segmenter
 
     # -- parameter init -------------------------------------------------------
@@ -218,6 +230,67 @@ class Pipeline:
         ids = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
         return ids.reshape(-1), scores.reshape(-1)
 
+    def _frame_semantics(self, frame, seg_params, stop_grad=False):
+        """Per-frame (sem_ids, scores), each (h*w,): the pre-pass values
+        when the sequence scan attached them as xs (``sem_ids_pre``),
+        else the per-frame segmenter forward / gt labels."""
+        if "sem_ids_pre" in frame:
+            return frame["sem_ids_pre"], frame["sem_scores_pre"]
+        if self.semantic_strategy == "predict":
+            sem_ids, scores = self._predict_semantics(
+                seg_params, frame["image"], frame["depth_input"])
+            if stop_grad:
+                sem_ids = jax.lax.stop_gradient(sem_ids)
+                scores = jax.lax.stop_gradient(scores)
+            return sem_ids, scores
+        sem_ids = frame["semantic_gt"].reshape(-1).astype(jnp.uint8)
+        return sem_ids, jnp.ones_like(sem_ids, jnp.float32)
+
+    def _predict_semantics_batched(self, seg_params, images, depths):
+        """Chunk-batched segmenter forward: (T, h, w, 3)/(T, h, w) ->
+        ids (T, h*w) u8, scores (T, h*w) f32. Frames run through the net
+        ``sem_prepass_batch`` at a time (a lax.scan over ceil(T/B)
+        batches; T is padded by repeating the last frame), amortising the
+        per-conv dispatch floor while bounding activation memory."""
+        T = images.shape[0]
+        B = max(1, min(self.sem_prepass_batch, T))
+        pad = (-T) % B
+        if pad:
+            images = jnp.concatenate(
+                [images, jnp.repeat(images[-1:], pad, axis=0)])
+            depths = jnp.concatenate(
+                [depths, jnp.repeat(depths[-1:], pad, axis=0)])
+        imgs = images.reshape(-1, B, *images.shape[1:])
+        deps = depths.reshape(-1, B, *depths.shape[1:])
+
+        def body(_, xy):
+            img, dep = xy
+            logits = self.segmenter.apply_fn_batched(seg_params, img, dep)
+            probs = jax.nn.softmax(logits, axis=-1)
+            scores = jnp.max(probs, axis=-1)
+            ids = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+            return None, (ids.reshape(B, -1), scores.reshape(B, -1))
+
+        _, (ids, scores) = jax.lax.scan(body, None, (imgs, deps))
+        npix = ids.shape[-1]
+        return ids.reshape(-1, npix)[:T], scores.reshape(-1, npix)[:T]
+
+    def _sem_prepass_frames(self, frames, seg_params, need_sem: bool):
+        """Attach pre-pass semantics to a (T, ...) frame-stream dict when
+        the pre-pass applies; otherwise return ``frames`` unchanged."""
+        if not (need_sem and self.sem_prepass
+                and self.semantic_strategy == "predict"
+                and self.segmenter is not None
+                and hasattr(self.segmenter, "apply_fn_batched")
+                and "image" in frames):
+            return frames
+        ids, scores = self._predict_semantics_batched(
+            seg_params, frames["image"], frames["depth_input"])
+        out = dict(frames)
+        out["sem_ids_pre"] = ids
+        out["sem_scores_pre"] = scores
+        return out
+
     def _extract(self, depth, extrinsics, intrinsics, volume: SceneVolume):
         """Extraction over the accumulator state."""
         return geometry.extract_numw(depth, extrinsics, intrinsics,
@@ -289,12 +362,7 @@ class Pipeline:
         filtered = jnp.where(frame["mask"], depth, 0.0)
 
         if self.semantics:
-            if self.semantic_strategy == "predict":
-                sem_ids, scores = self._predict_semantics(
-                    seg_params, frame["image"], frame["depth_input"])
-            else:
-                sem_ids = frame["semantic_gt"].reshape(-1).astype(jnp.uint8)
-                scores = jnp.ones_like(sem_ids, jnp.float32)
+            sem_ids, scores = self._frame_semantics(frame, seg_params)
         else:
             sem_ids = scores = None
 
@@ -437,15 +505,8 @@ class Pipeline:
         filtered = jnp.where(frame["mask"], depth, 0.0)
 
         if self.semantics:
-            if self.semantic_strategy == "predict":
-                sem_ids, scores = self._predict_semantics(
-                    seg_params, frame["image"], frame["depth_input"])
-                if stop_sem_grad:
-                    sem_ids = jax.lax.stop_gradient(sem_ids)
-                    scores = jax.lax.stop_gradient(scores)
-            else:
-                sem_ids = frame["semantic_gt"].reshape(-1).astype(jnp.uint8)
-                scores = jnp.ones_like(sem_ids, jnp.float32)
+            sem_ids, scores = self._frame_semantics(
+                frame, seg_params, stop_grad=stop_sem_grad)
         else:
             sem_ids = scores = None
 
@@ -575,14 +636,8 @@ class Pipeline:
         filtered = jnp.where(frame["mask"], depth, 0.0)
 
         if self.semantics:
-            if self.semantic_strategy == "predict":
-                sem_ids, scores = self._predict_semantics(
-                    seg_params, frame["image"], frame["depth_input"])
-                sem_ids = jax.lax.stop_gradient(sem_ids)
-                scores = jax.lax.stop_gradient(scores)
-            else:
-                sem_ids = frame["semantic_gt"].reshape(-1).astype(jnp.uint8)
-                scores = jnp.ones_like(sem_ids, jnp.float32)
+            sem_ids, scores = self._frame_semantics(frame, seg_params,
+                                                    stop_grad=True)
         else:
             sem_ids = scores = None
 
@@ -663,6 +718,9 @@ class Pipeline:
                 frames, seg_params)
             return self._volume_from_rows(stream.rv, layout)
 
+        frames = self._sem_prepass_frames(frames, seg_params,
+                                          need_sem=self.semantics)
+
         def body(vol, frame):
             return self.step_fuse_impl(params_and_stats, vol, frame,
                                        seg_params), None
@@ -684,6 +742,9 @@ class Pipeline:
         SceneVolume only when the database is actually read (the entry
         scatter + exit reconciles cost ~130 ms per boundary at 448^3,
         tools/profile_trace.py)."""
+        frames = self._sem_prepass_frames(frames, seg_params,
+                                          need_sem=self.semantics)
+
         def row_body(stream, frame):
             carry = (None if stream.shadow is None
                      else (stream.shadow, stream.dirty))
@@ -767,6 +828,9 @@ class Pipeline:
                     self._volume_from_rows(stream.rv, layout), stats)
 
         grad_zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+        frames = self._sem_prepass_frames(
+            frames, seg_params,
+            need_sem=self.semantics and self.use_semantics)
 
         def body(carry, inp):
             volume, stats, grad_acc, loss_acc = carry
@@ -806,6 +870,9 @@ class Pipeline:
         optimizer steps and skip the per-chunk canonical<->slot
         conversions (train_fusion.py row-carry)."""
         grad_zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+        frames = self._sem_prepass_frames(
+            frames, seg_params,
+            need_sem=self.semantics and self.use_semantics)
 
         def row_body(carry, inp):
             stream, stats, grad_acc, loss_acc = carry

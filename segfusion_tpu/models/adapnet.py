@@ -338,13 +338,23 @@ class SegmenterAdapter:
         self.input_mode = input_mode
 
     def apply_fn(self, params_bundle, image, depth):
+        return self.apply_fn_batched(params_bundle, image[None],
+                                     depth[None])[0]
+
+    def apply_fn_batched(self, params_bundle, images, depths):
+        """Batched forward: ``images`` (B, h, w, 3) in 0..255, ``depths``
+        (B, h, w) -> (B, h, w, C) logits. Inference BatchNorm uses running
+        stats, so each sample's logits are independent of its batch mates
+        -- the sequence pipelines exploit this to amortise the per-conv
+        dispatch floor over a whole frame chunk (Pipeline semantic
+        pre-pass)."""
         params, batch_stats = params_bundle
         variables = {"params": params, "batch_stats": batch_stats}
-        img = (image / 255.0)[None]
-        dep = jnp.repeat(depth[..., None], 3, axis=-1)[None]
+        img = images / 255.0
+        dep = jnp.repeat(depths[..., None], 3, axis=-1)
         if self.model.stage == 1:
             mod1 = img if self.input_mode == "image" else dep
             res, _, _ = self.model.apply(variables, mod1, train=False)
         else:
             res, _, _ = self.model.apply(variables, img, dep, train=False)
-        return res[0]
+        return res
