@@ -111,6 +111,52 @@ def _run_sequence(sem_prepass, segmenter, T=5):
     return jax.device_get((out.num, out.weights, out.semkey))
 
 
+def test_scene_parallel_prepass_matches_sequential(segmenter):
+    """The vmapped+sharded multi-scene path (bench multi512 shape) must
+    compose with the pre-pass: run_sequences with the pre-pass on equals
+    per-scene fuse_sequence with it off."""
+    from segfusion_tpu.parallel.scene_parallel import (SceneParallelFusion,
+                                                       stack_volumes)
+    from segfusion_tpu.ops.integrate import unpack_semantic_key
+
+    adapter, seg_params = segmenter
+    cfg = _config()
+    pipe = Pipeline(cfg, segmenter=adapter)
+    params, stats = pipe.init_fusion_params(jax.random.PRNGKey(0), H, W)
+
+    def mkvol():
+        return init_scene_volume((32, 32, 32),
+                                 np.array([-1.6, -1.6, -1.6], np.float32),
+                                 0.1, cfg.DATA.init_value)
+
+    T = 3
+    f0, f1 = _frames(T), _frames(T)
+    f1 = {k: (v + 0.05 if k in ("depth", "depth_input") else v)
+          for k, v in f1.items()}
+    f1["mask"] = f1["depth"] > 0
+
+    sp = SceneParallelFusion(pipe)
+    stacked = sp.shard_volumes(stack_volumes([mkvol(), mkvol()]))
+    frames_s = jax.tree_util.tree_map(
+        lambda a, b: jnp.stack([a, b]), f0, f1)
+    out = sp.run_sequences((params, stats), stacked, frames_s, seg_params)
+
+    cfg_off = _config()
+    cfg_off.SETTINGS.sem_prepass = "off"
+    pipe_off = Pipeline(cfg_off, segmenter=adapter)
+    for i, f in enumerate((f0, f1)):
+        ref = pipe_off.fuse_sequence((params, stats), mkvol(), f,
+                                     seg_params)
+        np.testing.assert_allclose(np.asarray(out.num[i]),
+                                   np.asarray(ref.num), rtol=1e-5,
+                                   atol=1e-6)
+        s_a, i_a = unpack_semantic_key(out.semkey[i])
+        s_b, i_b = unpack_semantic_key(ref.semkey)
+        np.testing.assert_array_equal(np.asarray(i_a), np.asarray(i_b))
+        np.testing.assert_allclose(np.asarray(s_a), np.asarray(s_b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_fuse_sequence_prepass_equivalence(segmenter):
     from segfusion_tpu.ops.integrate import unpack_semantic_key
 
