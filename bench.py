@@ -291,6 +291,11 @@ def bench_multi512():
     h = w = 32 if _TINY else 512
     n_scenes = 2
     cfg = build_config(h, w)
+    # 512^2 batched AdapNet activations x 2 vmapped scenes are the
+    # memory-tightest spot on the chip -- cap the pre-pass batch (the
+    # retry ladder would drop the pre-pass entirely on OOM)
+    if not os.environ.get("SEGFUSION_SEM_PREPASS_BATCH"):
+        cfg.SETTINGS.sem_prepass_batch = 4
     pipe, params_stats, seg_params = build_pipeline(cfg, h, w)
     params_stats = pipe.prepare_params(*params_stats)
 

@@ -97,6 +97,35 @@ def test_predict_semantics_batched_matches_per_frame(segmenter):
                                    atol=1e-6)
 
 
+def test_prepass_moves_segmenter_out_of_fusion_scan(segmenter):
+    """Structural check on the traced graph: with the pre-pass on, the
+    fusion scan body must carry NO AdapNet convs (they live in the
+    separate batched pre-pass scan); off, one scan holds both nets."""
+    adapter, seg_params = segmenter
+
+    def scan_conv_counts(flag):
+        cfg = _config()
+        cfg.SETTINGS.sem_prepass = flag
+        pipe = Pipeline(cfg, segmenter=adapter)
+        params, stats = pipe.init_fusion_params(jax.random.PRNGKey(0),
+                                                H, W)
+        vol = init_scene_volume((32, 32, 32),
+                                np.array([-1.6, -1.6, -1.6], np.float32),
+                                0.1, cfg.DATA.init_value)
+        jpr = jax.make_jaxpr(pipe.fuse_sequence_impl)(
+            (params, stats), vol, _frames(4), seg_params)
+        return sorted(
+            sum(1 for e in eqn.params["jaxpr"].jaxpr.eqns
+                if "conv" in e.primitive.name)
+            for eqn in jpr.jaxpr.eqns if eqn.primitive.name == "scan")
+
+    counts_on = scan_conv_counts("on")
+    (counts_off,) = scan_conv_counts("off")
+    assert len(counts_on) == 2            # pre-pass scan + fusion scan
+    assert sum(counts_on) == counts_off   # same convs, relocated
+    assert min(counts_on) > 0             # both nets still conv-based
+
+
 def _run_sequence(sem_prepass, segmenter, T=5):
     adapter, seg_params = segmenter
     cfg = _config()

@@ -87,8 +87,15 @@ def main():
             return c + jnp.sum(est), None
         return jax.lax.scan(body, jnp.float32(0), frs)[0]
 
+    def adapnet_prepass(frs):
+        ids, scores = pipe._predict_semantics_batched(
+            seg_params, frs["image"], frs["depth_input"])
+        return jnp.sum(scores) + jnp.sum(ids)
+
     for name, f in (("adapnet only", adapnet_only),
-                    ("fusionnet only", fusionnet_only)):
+                    ("fusionnet only", fusionnet_only),
+                    (f"adapnet pre-pass b{pipe.sem_prepass_batch}",
+                     adapnet_prepass)):
         fn = jax.jit(f)
         float(fn(stacked_frames))
         best = 1e30
