@@ -17,22 +17,27 @@ def sync(x):
 
 
 def timed(label, fn, *args, frames=1, reps=3, donate=None):
-    fn_j = jax.jit(fn, donate_argnums=donate) if donate else jax.jit(fn)
-    args = list(args)
-    out = fn_j(*args)
-    sync(out)
-    if donate:
-        args[donate[0]] = out
-    best = 1e30
-    for _ in range(reps):
-        t0 = time.perf_counter()
+    try:
+        fn_j = jax.jit(fn, donate_argnums=donate) if donate else jax.jit(fn)
+        args = list(args)
         out = fn_j(*args)
         sync(out)
-        best = min(best, time.perf_counter() - t0)
         if donate:
             args[donate[0]] = out
-    print(f"{label:52s} {best / frames * 1e3:8.2f} ms/frame", flush=True)
-    return best / frames
+        best = 1e30
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn_j(*args)
+            sync(out)
+            best = min(best, time.perf_counter() - t0)
+            if donate:
+                args[donate[0]] = out
+        print(f"{label:52s} {best / frames * 1e3:8.2f} ms/frame",
+              flush=True)
+        return best / frames
+    except Exception as e:  # one OOM must not sink the whole session
+        print(f"{label:52s} FAILED: {e!r}"[:300], flush=True)
+        return float("nan")
 
 
 def main():
@@ -69,6 +74,15 @@ def main():
           lambda v: pipe.fuse_sequence_impl(prepped, v, stacked,
                                             seg_params),
           volume, frames=32, reps=2)
+
+    # 1c. the in-context semantic pre-pass decision: same as 1b with the
+    # batched pre-pass disabled (per-frame AdapNet inside the scan)
+    pipe.sem_prepass = False
+    timed("fuse_sequence row path + fused net, no pre-pass",
+          lambda v: pipe.fuse_sequence_impl(prepped, v, stacked,
+                                            seg_params),
+          volume, frames=32, reps=2)
+    pipe.sem_prepass = True
 
     # 2. full flat-path sequence
     pipe.row_path = False
