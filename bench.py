@@ -190,7 +190,10 @@ def _stream_rows(pipe, params_stats, volume, frames, seg_params,
         reads it again before exit; keeping it alive costs 1.1 GB at
         448^3 next to the carried slot+shadow state)."""
         stream = pipe._new_stream(layout, pipe._enter_rows(layout, volume))
-        jax.block_until_ready(stream.rv.geo)
+        # force completion with a scalar readback -- block_until_ready
+        # does NOT synchronize through the relay (CLAUDE.md), and the
+        # conversion must be done before its inputs are freed
+        float(jnp.sum(stream.rv.geo[0]))
         for buf in (volume.num, volume.weights, volume.semkey):
             buf.delete()
         return stream

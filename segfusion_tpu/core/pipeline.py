@@ -899,7 +899,8 @@ class Pipeline:
         donate_argnums=(4,))(train_sequence_rows_impl)
 
     def fuse_many(self, batches, database, params, batch_stats,
-                  seg_params=None, chunk: int = 16):
+                  seg_params=None, chunk: int = 16,
+                  max_live_scenes: Optional[int] = None):
         """Stream a list/iterator of host batches through chunked
         ``fuse_sequence`` calls: frames are buffered PER SCENE and each
         scene's buffer is flushed as one fixed-size chunk (tail-padded
@@ -924,11 +925,29 @@ class Pipeline:
         slot form (fuse_sequence_rows) and materialised back into the
         database once at the end -- the canonical<->slot conversions
         (~130 ms per boundary at 448^3) are paid once per scene instead
-        of once per chunk. Bit-identical to per-frame :meth:`fuse`."""
+        of once per chunk. Equivalent to per-frame :meth:`fuse` up to f32
+        re-association of the boundary reconciles (semantic keys exact).
+
+        ``max_live_scenes`` (default SETTINGS.max_live_row_scenes, 1)
+        bounds HBM: a live row-carried scene holds slot state + shadow
+        (~5.7 GB at 448^3) next to its canonical database volume, so
+        interleaved multi-scene streams must not accumulate carries for
+        every scene. Least-recently-flushed scenes are materialised back
+        to the database and re-entered if more frames arrive (a
+        ~130 ms/boundary cost that only interleaved orderings pay)."""
         import numpy as np
         params, batch_stats = self.prepare_params(params, batch_stats)
+        if max_live_scenes is None:
+            max_live_scenes = int(self.config.SETTINGS.get(
+                "max_live_row_scenes", 1))
         pending: Dict[str, list] = {}
-        rowstate: Dict[str, tuple] = {}
+        rowstate: Dict[str, tuple] = {}   # insertion-ordered: LRU first
+
+        def evict(scene_id: str):
+            layout, stream = rowstate.pop(scene_id)
+            database.update(scene_id,
+                            self._exit_rows(layout,
+                                            self._drop_carry(stream)))
 
         def flush(scene_id: str):
             frames = pending.pop(scene_id, [])
@@ -942,12 +961,14 @@ class Pipeline:
             stacked = self._stack_host_frames(frames)
             if self.row_path:
                 if scene_id not in rowstate:
+                    while len(rowstate) >= max(1, max_live_scenes):
+                        evict(next(iter(rowstate)))
                     volume = database.volumes[scene_id]
                     layout = rowvol.RowLayout.for_shape(
                         tuple(volume.num.shape))
                     rowstate[scene_id] = (layout, self._new_stream(
                         layout, self._enter_rows(layout, volume)))
-                layout, stream = rowstate[scene_id]
+                layout, stream = rowstate.pop(scene_id)  # re-insert last
                 stream = self.fuse_sequence_rows(
                     layout, (params, batch_stats), stream, stacked,
                     seg_params)
@@ -970,10 +991,8 @@ class Pipeline:
                 flush(scene_id)
         for scene_id in list(pending):
             flush(scene_id)
-        for scene_id, (layout, stream) in rowstate.items():
-            database.update(scene_id,
-                            self._exit_rows(layout,
-                                            self._drop_carry(stream)))
+        for scene_id in list(rowstate):
+            evict(scene_id)
 
     def fuse(self, batch, database, params, batch_stats, seg_params=None):
         """Online inference on one frame; updates the database in place

@@ -366,13 +366,9 @@ def apply_v3(folded, inputs: Dict[str, jnp.ndarray], *,
     y = _run_vortex(y, folded["vortex"], (1, 3, 9, 27), dtype, conv3x3)
 
     for i, pred in enumerate(folded["preds"]):
-        last = i == len(folded["preds"]) - 1
-        if not last:
-            y = _conv1x1(y, pred[0], "leaky", dtype)
-            y = _conv1x1(y, pred[1], "leaky", dtype)
-        else:
-            y = _conv1x1(y, pred[0], "leaky", dtype)
-            y = _conv1x1(y, pred[1], "leaky", dtype)
+        y = _conv1x1(y, pred[0], "leaky", dtype)
+        y = _conv1x1(y, pred[1], "leaky", dtype)
+        if i == len(folded["preds"]) - 1:
             y = _conv1x1(y, pred[2], "tanh", dtype)     # f32 out
 
     H, W, _ = y.shape

@@ -54,6 +54,7 @@ class SceneParallelFusion:
             from .mesh import scene_mesh
             mesh = scene_mesh()
         self.mesh = mesh
+        self._all_devices = np.asarray(mesh.devices).reshape(-1)
         self._scene_sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
         self._replicated = NamedSharding(mesh, P())
 
@@ -76,17 +77,17 @@ class SceneParallelFusion:
         self._seq = _seq
 
     def _fit_mesh(self, n_scenes: int) -> None:
-        """Shrink the mesh to the largest divisor of ``n_scenes`` when the
-        scene count doesn't divide the device count (e.g. 2 scenes on an
-        8-chip host): XLA rejects sharding a dim-S axis over a
-        non-divisor mesh, and idle trailing devices cost nothing."""
-        size = self.mesh.devices.size
-        if n_scenes % size == 0:
-            return
+        """Fit the mesh to the largest divisor of ``n_scenes`` (XLA
+        rejects sharding a dim-S axis over a non-divisor mesh; idle
+        trailing devices cost nothing). Always refit from the FULL
+        device set so a small batch (2 scenes on 8 chips) doesn't
+        permanently shrink the runner for later larger batches."""
+        size = self._all_devices.size
         d = max(k for k in range(1, min(size, n_scenes) + 1)
                 if n_scenes % k == 0)
-        devs = np.asarray(self.mesh.devices).reshape(-1)[:d]
-        self.mesh = Mesh(devs, self.mesh.axis_names)
+        if d == self.mesh.devices.size:
+            return
+        self.mesh = Mesh(self._all_devices[:d], self.mesh.axis_names)
         self._scene_sharding = NamedSharding(self.mesh,
                                              P(self.mesh.axis_names[0]))
         self._replicated = NamedSharding(self.mesh, P())

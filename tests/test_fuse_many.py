@@ -166,3 +166,44 @@ def test_fuse_many_dirty_carry_bit_identical():
                                   np.asarray(b.weights))
     np.testing.assert_array_equal(np.asarray(a.semkey),
                                   np.asarray(b.semkey))
+
+
+def test_fuse_many_scene_eviction_matches_unbounded():
+    """The HBM-bounding LRU eviction (max_live_scenes=1) must round-trip
+    slot state through canonical form without changing results: an
+    interleaved 2-scene stream under cap 1 (evict/re-enter every switch)
+    equals the same stream with both carries held live."""
+    cfg = small_config(use_semantics=False, semantics="class8")
+    cfg.DATA.semantic_grid = True
+    cfg.DATA.n_scenes = 2
+    data = Synthetic(cfg.DATA)
+    pipe = Pipeline(cfg)
+    params, stats = pipe.init_fusion_params(jax.random.PRNGKey(0), 48, 48)
+
+    nf = cfg.DATA.n_frames
+    idxs = []
+    for i in range(6):
+        idxs += [i, nf + i]
+    batches = [_batch(data, i) for i in idxs]
+
+    def run(cap):
+        db = Database(data, cfg.DATA)
+        db.reset()
+        pipe.fuse_many(batches, db, params, stats, chunk=4,
+                       max_live_scenes=cap)
+        return {s: db.volumes[s] for s in data.scenes}
+
+    bounded, unbounded = run(1), run(8)
+    for s in data.scenes:
+        # the mid-stream exit/enter reconcile re-associates the f32 slot
+        # sums (same float-tolerance class as per-frame fuse, see
+        # test_fuse_many_matches_per_frame); keys reconcile by max, which
+        # is association-free -> exact
+        np.testing.assert_allclose(np.asarray(bounded[s].num),
+                                    np.asarray(unbounded[s].num),
+                                    atol=1e-3)
+        np.testing.assert_allclose(np.asarray(bounded[s].weights),
+                                    np.asarray(unbounded[s].weights),
+                                    atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(bounded[s].semkey),
+                                      np.asarray(unbounded[s].semkey))

@@ -228,3 +228,25 @@ def test_quadric_preserves_sharp_box():
                            np.abs(sv[:, 1] - 0.5 + 0.5 / n),
                            np.abs(sv[:, 2] - 0.5 + 0.5 / n)])
     assert np.abs(d - 0.3).max() < 0.05
+
+
+def test_erode_depth_degenerate_shapes():
+    """1-row / 1-column depth maps must not crash and reduce to the
+    horizontal/vertical-only min filter."""
+    import sys as _sys, os as _os
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..",
+                                      "tools", "preprocess"))
+    from fuse import erode_depth
+
+    row = np.array([[3.0, 1.0, 2.0, 0.0]], np.float32)
+    out = erode_depth(row)
+    assert out.shape == row.shape
+    np.testing.assert_allclose(out[0, :3], [1.0, 1.0, 1.0])
+    assert out[0, 3] == 1.0 or out[0, 3] == 2.0  # 0 (miss) dilated over
+
+    col = row.T.copy()
+    out_c = erode_depth(col)
+    np.testing.assert_allclose(out_c[:, 0], out[0])
+
+    one = np.array([[5.0]], np.float32)
+    np.testing.assert_allclose(erode_depth(one), one)

@@ -113,3 +113,23 @@ def test_stack_unstack_roundtrip():
     assert stacked.num.shape == (3, 8, 8, 8)
     back = unstack_volumes(stacked, 3)
     assert back[1].num.shape == (8, 8, 8)
+
+
+def test_fit_mesh_regrows_after_small_batch():
+    """A 2-scene batch must not permanently shrink the runner's mesh:
+    a following 8-scene batch uses all 8 devices again."""
+    from segfusion_tpu.core.volume import init_scene_volume
+    from tests.test_pipeline import small_config
+
+    cfg = small_config(use_semantics=False, semantics="class8")
+    pipe = Pipeline(cfg)
+    sp = SceneParallelFusion(pipe)
+    full = sp.mesh.devices.size
+    assert full == 8
+
+    sp._fit_mesh(2)
+    assert sp.mesh.devices.size == 2
+    sp._fit_mesh(8)
+    assert sp.mesh.devices.size == 8
+    sp._fit_mesh(6)
+    assert sp.mesh.devices.size == 6

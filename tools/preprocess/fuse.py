@@ -39,11 +39,17 @@ def erode_depth(d):
     """
     di = np.where(d > 0, d, np.inf)
     e = np.minimum(di, np.minimum(np.roll(di, 1, 0), np.roll(di, -1, 0)))
-    e[0] = di[0] if e.shape[0] == 1 else np.minimum(di[0], di[1])
-    e[-1] = np.minimum(di[-1], di[-2])
+    if e.shape[0] == 1:                 # degenerate single row: no
+        e[0] = di[0]                    # vertical neighbours at all
+    else:                               # un-wrap the roll at the borders
+        e[0] = np.minimum(di[0], di[1])
+        e[-1] = np.minimum(di[-1], di[-2])
     e2 = np.minimum(e, np.minimum(np.roll(e, 1, 1), np.roll(e, -1, 1)))
-    e2[:, 0] = np.minimum(e[:, 0], e[:, 1])
-    e2[:, -1] = np.minimum(e[:, -1], e[:, -2])
+    if e2.shape[1] == 1:
+        e2[:, 0] = e[:, 0]
+    else:
+        e2[:, 0] = np.minimum(e[:, 0], e[:, 1])
+        e2[:, -1] = np.minimum(e[:, -1], e[:, -2])
     return np.where(np.isfinite(e2), e2, 0.0).astype(d.dtype)
 
 
