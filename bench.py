@@ -75,6 +75,11 @@ def build_config(h, w):
     if os.environ.get("SEGFUSION_SEM_PREPASS_BATCH"):
         cfg.SETTINGS.sem_prepass_batch = int(
             os.environ["SEGFUSION_SEM_PREPASS_BATCH"])
+    # dirty-shadow carry (incremental tile rebuild); =off forces a full
+    # shadow rebuild per frame -- the round-4 escape hatch for the carry
+    # path (its custom_vmap rule regression killed multi512 in round 3)
+    if os.environ.get("SEGFUSION_DIRTY_SHADOW"):
+        cfg.SETTINGS.dirty_shadow = os.environ["SEGFUSION_DIRTY_SHADOW"]
     cfg.DATA.resx = w
     cfg.DATA.resy = h
     cfg.DATA.init_value = 0.1
@@ -446,8 +451,10 @@ def main():
         must never sink the driver artifact."""
         ladder = [{}, {"SEGFUSION_SEM_PREPASS": "off"},
                   {"SEGFUSION_FUSED_NET": "off"},
+                  {"SEGFUSION_DIRTY_SHADOW": "off"},
                   {"SEGFUSION_SEM_PREPASS": "off",
-                   "SEGFUSION_FUSED_NET": "off"}]
+                   "SEGFUSION_FUSED_NET": "off",
+                   "SEGFUSION_DIRTY_SHADOW": "off"}]
         # skip rungs that contradict an explicit outer env choice
         ladder = [env for env in ladder
                   if all(os.environ.get(k) in (None, v)

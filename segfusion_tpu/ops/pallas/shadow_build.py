@@ -521,6 +521,12 @@ def reconcile_key_pallas(key: jnp.ndarray, layout, interpret: bool = False,
 # therefore just fold the batch axis into x and re-split the outputs --
 # this is what makes the scene-parallel vmapped fuse path (multi-scene
 # streaming, parallel/scene_parallel.py) compose with the kernels.
+#
+# Rules MUST honor ``in_batched``: under vmap(fuse_sequence) the initial
+# shadow/dirty carry is created INSIDE the vmapped function from
+# constants, so it reaches the rule UNBATCHED while geo is batched
+# (round-3 regression: indexing dirty[:, :nt] on a 1-D dirty killed the
+# multi-scene bench; tests/test_shadow_pallas.py::TestVmapRules).
 
 import functools as _ft
 
@@ -529,27 +535,36 @@ def _batched_layout(layout, S):
     return layout._replace(X=S * layout.X)
 
 
+def _bcast(a, batched, S):
+    """Broadcast an unbatched operand to the vmap batch."""
+    return a if batched else jnp.broadcast_to(a[None], (S,) + a.shape)
+
+
 @_ft.lru_cache(maxsize=None)
-def _shadow_fn(layout):
+def _shadow_fn(layout, interpret=False):
     @jax.custom_batching.custom_vmap
     def f(geo):
-        return build_shadow_pallas(geo, layout)
+        return build_shadow_pallas(geo, layout, interpret=interpret)
 
     @f.def_vmap
     def _rule(axis_size, in_batched, geo):
-        Lb = _batched_layout(layout, axis_size)
+        S = axis_size
+        Lb = _batched_layout(layout, S)
+        geo = _bcast(geo, in_batched[0], S)
         out = build_shadow_pallas(
-            geo.reshape(axis_size * layout.geo_rows, 128), Lb)
-        return out.reshape(axis_size, layout.shadow_rows, 128), True
+            geo.reshape(S * layout.geo_rows, 128), Lb,
+            interpret=interpret)
+        return out.reshape(S, layout.shadow_rows, 128), True
 
     return f
 
 
 @_ft.lru_cache(maxsize=None)
-def _shadow_dirty_fn(layout):
+def _shadow_dirty_fn(layout, interpret=False):
     @jax.custom_batching.custom_vmap
     def f(geo, prev_shadow, dirty):
-        return build_shadow_dirty_pallas(geo, prev_shadow, dirty, layout)
+        return build_shadow_dirty_pallas(geo, prev_shadow, dirty, layout,
+                                         interpret=interpret)
 
     @f.def_vmap
     def _rule(axis_size, in_batched, geo, prev_shadow, dirty):
@@ -558,65 +573,75 @@ def _shadow_dirty_fn(layout):
         Lb = _batched_layout(layout, S)
         _, NJ = _rv.shadow_tiling(layout)
         nt = layout.X * NJ
+        geo = _bcast(geo, in_batched[0], S)
+        prev_shadow = _bcast(prev_shadow, in_batched[1], S)
+        dirty = _bcast(dirty, in_batched[2], S)
         dirty_b = jnp.concatenate(
             [dirty[:, :nt].reshape(-1), jnp.zeros((1,), jnp.int32)])
         out = build_shadow_dirty_pallas(
             geo.reshape(S * layout.geo_rows, 128),
             prev_shadow.reshape(S * layout.shadow_rows, 128),
-            dirty_b, Lb)
+            dirty_b, Lb, interpret=interpret)
         return out.reshape(S, layout.shadow_rows, 128), True
 
     return f
 
 
-def build_shadow_dirty_pallas_v(geo, prev_shadow, dirty, layout):
+def build_shadow_dirty_pallas_v(geo, prev_shadow, dirty, layout,
+                                interpret=False):
     """vmappable entry point (see the custom_vmap note above)."""
-    return _shadow_dirty_fn(layout)(geo, prev_shadow, dirty)
+    return _shadow_dirty_fn(layout, interpret)(geo, prev_shadow, dirty)
 
 
 @_ft.lru_cache(maxsize=None)
-def _reconcile_fn(layout):
+def _reconcile_fn(layout, interpret=False):
     @jax.custom_batching.custom_vmap
     def f(geo):
-        return reconcile_slot_pallas(geo, layout)
+        return reconcile_slot_pallas(geo, layout, interpret=interpret)
 
     @f.def_vmap
     def _rule(axis_size, in_batched, geo):
-        Lb = _batched_layout(layout, axis_size)
+        S = axis_size
+        Lb = _batched_layout(layout, S)
+        geo = _bcast(geo, in_batched[0], S)
         n, w = reconcile_slot_pallas(
-            geo.reshape(axis_size * layout.geo_rows, 128), Lb)
-        shp = (axis_size, layout.X, layout.Y, layout.Z)
+            geo.reshape(S * layout.geo_rows, 128), Lb,
+            interpret=interpret)
+        shp = (S, layout.X, layout.Y, layout.Z)
         return (n.reshape(shp), w.reshape(shp)), (True, True)
 
     return f
 
 
 @_ft.lru_cache(maxsize=None)
-def _key_reconcile_fn(layout):
+def _key_reconcile_fn(layout, interpret=False):
     @jax.custom_batching.custom_vmap
     def f(key):
-        return reconcile_key_pallas(key, layout)
+        return reconcile_key_pallas(key, layout, interpret=interpret)
 
     @f.def_vmap
     def _rule(axis_size, in_batched, key):
-        Lb = _batched_layout(layout, axis_size)
+        S = axis_size
+        Lb = _batched_layout(layout, S)
+        key = _bcast(key, in_batched[0], S)
         k = reconcile_key_pallas(
-            key.reshape(axis_size * layout.key_rows, 128), Lb)
-        return k.reshape(axis_size, layout.X, layout.Y, layout.Z), True
+            key.reshape(S * layout.key_rows, 128), Lb,
+            interpret=interpret)
+        return k.reshape(S, layout.X, layout.Y, layout.Z), True
 
     return f
 
 
-def build_shadow_pallas_v(geo, layout):
+def build_shadow_pallas_v(geo, layout, interpret=False):
     """vmappable entry point (see the custom_vmap note above)."""
-    return _shadow_fn(layout)(geo)
+    return _shadow_fn(layout, interpret)(geo)
 
 
-def reconcile_key_pallas_v(key, layout):
+def reconcile_key_pallas_v(key, layout, interpret=False):
     """vmappable entry point (see the custom_vmap note above)."""
-    return _key_reconcile_fn(layout)(key)
+    return _key_reconcile_fn(layout, interpret)(key)
 
 
-def reconcile_slot_pallas_v(geo, layout):
+def reconcile_slot_pallas_v(geo, layout, interpret=False):
     """vmappable entry point (see the custom_vmap note above)."""
-    return _reconcile_fn(layout)(geo)
+    return _reconcile_fn(layout, interpret)(geo)

@@ -125,3 +125,138 @@ def test_reconcile_key_pallas_vmap_batches():
         L._replace(X=3 * L.X), interpret=True).reshape(3, L.X, L.Y, L.Z)
     want = jax.vmap(lambda k: _reconcile_key(k, L))(keys)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+# -- custom_vmap rules (round-3 regression: rules ignored in_batched) ---------
+#
+# Under vmap(fuse_sequence) the initial shadow/dirty carry is created
+# INSIDE the vmapped function from constants, so the dirty rule sees
+# geo batched but prev_shadow/dirty UNBATCHED -- exactly the multi512
+# IndexError of BENCH_r03. These tests drive every rule through jax.vmap
+# with each batched/unbatched operand combination, in interpret mode so
+# they run (numerically, not just trace) on CPU.
+
+def _reachable_geo(L, rng, batch=None):
+    shape = (L.geo_rows, 128) if batch is None else (batch, L.geo_rows, 128)
+    geo = rng.randn(*shape).astype(np.float32) * 0.3
+    g5 = geo.reshape(shape[:-2] + (L.X, L.Y + 2, L.G, 8, 16))
+    g5[..., 0, :, :, :] = 0.0
+    g5[..., L.Y + 1, :, :, :] = 0.0
+    for c in (2, 3, 6, 7):
+        g5[..., L.Y, :, c, :] = 0.0
+    gz, sz = (L.Z - 1) // 16, (L.Z - 1) % 16
+    for c in (1, 3, 5, 7):
+        g5[..., gz, c, sz] = 0.0
+    g5[..., gz, :, sz + 1:] = 0.0
+    g5[..., gz + 1:, :, :] = 0.0
+    return jnp.asarray(g5.reshape(shape))
+
+
+class TestVmapRules:
+    L = rowvol.RowLayout.for_shape((6, 8, 40))
+    S = 3
+
+    def test_shadow_dirty_unbatched_carry(self):
+        """geo batched, prev_shadow/dirty unbatched (the multi512 case)."""
+        from segfusion_tpu.ops.pallas import shadow_build as sb
+        L, S = self.L, self.S
+        rng = np.random.RandomState(11)
+        geo = _reachable_geo(L, rng, batch=S)
+        _, NJ = rowvol.shadow_tiling(L)
+        nt = L.X * NJ
+        prev = jnp.zeros((L.shadow_rows, 128), jnp.uint32)
+        dirty = jnp.concatenate([jnp.ones((nt,), jnp.int32),
+                                 jnp.zeros((1,), jnp.int32)])
+        got = jax.vmap(
+            lambda g: sb.build_shadow_dirty_pallas_v(
+                g, prev, dirty, L, interpret=True))(geo)
+        want = jax.vmap(
+            lambda g: rowvol.build_shadow_dirty(g, prev, dirty, L,
+                                                impl="xla"))(geo)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_shadow_dirty_all_batched(self):
+        from segfusion_tpu.ops.pallas import shadow_build as sb
+        L, S = self.L, self.S
+        rng = np.random.RandomState(12)
+        geo = _reachable_geo(L, rng, batch=S)
+        _, NJ = rowvol.shadow_tiling(L)
+        nt = L.X * NJ
+        prev = jnp.asarray(
+            rng.randint(0, 2**32, (S, L.shadow_rows, 128),
+                        dtype=np.uint32))
+        dirty = np.zeros((S, nt + 1), np.int32)
+        dirty[:, ::2] = 1                     # mixed dirty/clean tiles
+        dirty = jnp.asarray(dirty)
+        got = jax.vmap(
+            lambda g, p, d: sb.build_shadow_dirty_pallas_v(
+                g, p, d, L, interpret=True))(geo, prev, dirty)
+        want = jax.vmap(
+            lambda g, p, d: rowvol.build_shadow_dirty(
+                g, p, d, L, impl="xla"))(geo, prev, dirty)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_shadow_dirty_inside_scan_carry_fixpoint(self):
+        """The real call shape: a lax.scan whose carry starts as
+        unbatched constants under vmap (first fixpoint pass hits the
+        rule with 1-D dirty -- the round-3 trace-time crash)."""
+        from segfusion_tpu.ops.pallas import shadow_build as sb
+        L, S = self.L, self.S
+        rng = np.random.RandomState(13)
+        geo = _reachable_geo(L, rng, batch=S)
+        _, NJ = rowvol.shadow_tiling(L)
+        nt = L.X * NJ
+
+        def seq(g):
+            shadow0 = jnp.zeros((L.shadow_rows, 128), jnp.uint32)
+            dirty0 = jnp.concatenate([jnp.ones((nt,), jnp.int32),
+                                      jnp.zeros((1,), jnp.int32)])
+
+            def body(carry, _):
+                sh, d = carry
+                sh = sb.build_shadow_dirty_pallas_v(g, sh, d, L,
+                                                    interpret=True)
+                return (sh, jnp.zeros_like(d)), jnp.sum(sh >> 16)
+
+            (sh, _), sums = jax.lax.scan(body, (shadow0, dirty0),
+                                         None, length=2)
+            return sh, sums
+
+        got_sh, got_sums = jax.vmap(seq)(geo)
+        want = jax.vmap(
+            lambda g: rowvol.build_shadow(g, L, impl="xla"))(geo)
+        np.testing.assert_array_equal(np.asarray(got_sh), np.asarray(want))
+
+    def test_shadow_full_rule(self):
+        from segfusion_tpu.ops.pallas import shadow_build as sb
+        L, S = self.L, self.S
+        rng = np.random.RandomState(14)
+        geo = _reachable_geo(L, rng, batch=S)
+        got = jax.vmap(
+            lambda g: sb.build_shadow_pallas_v(g, L, interpret=True))(geo)
+        want = jax.vmap(
+            lambda g: rowvol.build_shadow(g, L, impl="xla"))(geo)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_reconcile_rules_batched(self):
+        from segfusion_tpu.ops.pallas import shadow_build as sb
+        from segfusion_tpu.ops.rowvol import (_reconcile_key,
+                                              _reconcile_slot)
+        L, S = self.L, self.S
+        rng = np.random.RandomState(15)
+        geo = jnp.asarray(
+            rng.randn(S, L.geo_rows, 128).astype(np.float32))
+        key = jnp.asarray(rng.randint(0, 2**31 - 1,
+                                      (S, L.key_rows, 128),
+                                      dtype=np.int32))
+        gn, gw = jax.vmap(
+            lambda g: sb.reconcile_slot_pallas_v(g, L,
+                                                 interpret=True))(geo)
+        wn, ww = jax.vmap(lambda g: _reconcile_slot(g, L))(geo)
+        np.testing.assert_array_equal(np.asarray(gn), np.asarray(wn))
+        np.testing.assert_array_equal(np.asarray(gw), np.asarray(ww))
+        gk = jax.vmap(
+            lambda k: sb.reconcile_key_pallas_v(k, L,
+                                                interpret=True))(key)
+        wk = jax.vmap(lambda k: _reconcile_key(k, L))(key)
+        np.testing.assert_array_equal(np.asarray(gk), np.asarray(wk))
