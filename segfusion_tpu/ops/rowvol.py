@@ -80,9 +80,11 @@ _INTEGRATE_CHUNK = 262144  # update temp ~ chunk*t*2*256*4B (~3.8 GB at t=7)
 
 # Extraction one-hot reduce formulation; "quarter" (4 masked 32-lane
 # reduces) and "select128" (one 128-lane select + minor-axis sum) are
-# bit-exact to each other -- pick by measurement
-# (tools/probe_extract_variants.py).
-EXTRACT_REDUCE = os.environ.get("SEGFUSION_EXTRACT_REDUCE", "quarter")
+# bit-exact to each other. MEASURED round 4 (tools/probe_extract_variants
+# .py on TPU, composed loop at 448^3/256^2): select128 21.65 ms/frame vs
+# quarter 24.37 -- the single full-width mask + (2m, 4, 32) reshape-sum
+# wins 2.7 ms; GATHER_DEDUP regressed to 39.8 and stays off.
+EXTRACT_REDUCE = os.environ.get("SEGFUSION_EXTRACT_REDUCE", "select128")
 
 # Scatter update-build formulation; "minor16" (one-hot over (M, C, S)
 # minor-dim intermediates + relayout reshape) vs "lane128" (128-lane
@@ -116,11 +118,14 @@ GATHER_DEDUP = os.environ.get("SEGFUSION_GATHER_DEDUP", "0") == "1"
 
 # Shadow-build y-tile height cap, shared by the dirty-tile mask and BOTH
 # Pallas kernels (they must tile identically or the mask indexes the
-# wrong tiles). The dirty rebuild issues ~2 DMAs per dirty tile at
-# ~2-3 us each, so at high dirty-tile counts a taller tile (fewer,
-# larger copies) can win despite coarser mask granularity -- sweep on
-# TPU with tools/probe_dirty_shadow.py. VMEM bounds the ceiling (the
-# shadow compute temps are ~(TY, GK, 128) f32 x ~8 live).
+# wrong tiles). SWEPT round 4 (tools/probe_dirty_shadow.py on TPU,
+# 448^3/256^2 composed with extraction): TY=56 and TY=28 are within
+# noise (dirty-real 33.75 vs 33.23 ms incl. ~20 ms extraction); TY=112
+# fails to compile (Mosaic scoped-VMEM 19.4 MB > 16 MB -- the compute
+# temps are ~(TY, G, 128) f32 x ~8 live). Real bench-trajectory dirty
+# fractions at 256^2 are 0.44-0.75 (frustum coverage of the volume, NOT
+# ~25%), so the dirty rebuild saves ~6-7 ms/frame over a full blocked
+# rebuild, not the 30 ms round 3 projected.
 SHADOW_MAX_TY = int(os.environ.get("SEGFUSION_SHADOW_TY", "56"))
 
 

@@ -55,6 +55,22 @@ class SpatialShardedFusion:
         self.pipeline = pipeline
         self.mesh = mesh if mesh is not None else scene_mesh("x")
         self._rep = NamedSharding(self.mesh, P())
+        # CONSTRAINT: pallas_call does not auto-partition under XLA SPMD
+        # (it would all-gather the sharded state onto every device), so
+        # the sharded step must take the XLA row implementations. The
+        # kernels themselves ARE multi-chip capable -- they are x-local,
+        # and parallel/shard_kernels.py shard_maps them over x-slabs with
+        # zero collectives -- but wiring shard_map through the pipeline's
+        # scan carries is future work; until then spatial sharding forces
+        # rows_impl="xla" and documents the cost.
+        if self.mesh.devices.size > 1 and \
+                getattr(pipeline, "rows_impl", None) == "pallas":
+            raise ValueError(
+                "SpatialShardedFusion over >1 device requires the XLA row "
+                "implementations: set SETTINGS.rows_impl='xla' on the "
+                "pipeline config (pallas_call does not partition under "
+                "SPMD; see parallel/shard_kernels.py for the shard_map'd "
+                "kernel wrappers)")
 
     def shard(self, volume: SceneVolume) -> SceneVolume:
         return shard_volume_spatial(volume, self.mesh)
@@ -65,3 +81,15 @@ class SpatialShardedFusion:
             lambda x: jax.device_put(x, self._rep), frame)
         return self.pipeline._step_fuse(params_and_stats, volume, frame,
                                         seg_params)
+
+    def fuse_sequence(self, params_and_stats, volume: SceneVolume, frames,
+                      seg_params=None) -> SceneVolume:
+        """Fuse a whole (T, ...) frame stream over the x-sharded volume
+        in one dispatch -- the row path with the dirty-shadow carry, XLA
+        impl (see the constructor constraint); XLA SPMD partitions the
+        slot gathers/scatters and shadow builds along x and inserts the
+        ICI collectives."""
+        frames = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, self._rep), frames)
+        return self.pipeline.fuse_sequence(params_and_stats, volume,
+                                           frames, seg_params)

@@ -75,10 +75,13 @@ def main():
     sem_keys = jnp.concatenate([sem_keys] * reps, axis=0)
     masks = jnp.concatenate([masks] * reps, axis=0)
 
+    import functools
     for merge in (False, True):
         rowvol.MERGE_DUP = merge
 
-        @jax.jit
+        # donated state chain -- see probe_update_build (un-donated, the
+        # in+out state copies OOM 16 GB HBM next to the xs)
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
         def f(geo, key, crs, values, sem_keys, masks):
             def body(carry, inp):
                 g, k = carry
@@ -89,13 +92,14 @@ def main():
                                      (crs, values, sem_keys, masks))
             return g, k
 
-        g, k = f(geo, key, crs, values, sem_keys, masks)
-        float(jnp.sum(g[::65536, ::64]) + jnp.sum(k[::65536, ::64]))
+        geo, key = f(geo, key, crs, values, sem_keys, masks)
+        float(jnp.sum(geo[::65536, ::64]) + jnp.sum(key[::65536, ::64]))
         best = 1e30
         for _ in range(3):
             t0 = time.perf_counter()
-            g2, k2 = f(geo, key, crs, values, sem_keys, masks)
-            float(jnp.sum(g2[::65536, ::64]) + jnp.sum(k2[::65536, ::64]))
+            geo, key = f(geo, key, crs, values, sem_keys, masks)
+            float(jnp.sum(geo[::65536, ::64])
+                  + jnp.sum(key[::65536, ::64]))
             best = min(best, time.perf_counter() - t0)
         print(f"MERGE_DUP={merge!s:5s}: {best / T * 1e3:7.2f} ms/frame "
               f"(geo+key integrate, {T} frames)", flush=True)

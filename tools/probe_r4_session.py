@@ -11,9 +11,26 @@ groupB (structural-lever + net data, VERDICT #3/#4):
   scatter_dup, fastnet, pallas_caps3
 """
 
+import gc
 import sys
 import time
 import traceback
+
+
+def _free_device_memory():
+    """Drop every live device buffer + compile cache between probes: a
+    probe's locals (and any exception traceback frames) otherwise keep
+    multi-GB 448^3 states alive into the next probe's allocations
+    (group-A run 1: update_build/merge_dup died on RESOURCE_EXHAUSTED
+    before doing anything)."""
+    import jax
+    sys.last_traceback = None
+    sys.last_value = None
+    gc.collect()
+    for a in jax.live_arrays():
+        a.delete()
+    jax.clear_caches()
+    gc.collect()
 
 
 def run(name, fn):
@@ -27,6 +44,7 @@ def run(name, fn):
         traceback.print_exc()
         print(f"===== {name} FAILED after {time.time() - t0:.0f}s =====",
               flush=True)
+    _free_device_memory()
 
 
 def group_a():
@@ -43,12 +61,16 @@ def group_a():
 
 
 def group_b():
+    from tools import probe_update_build
+    run("update_build", probe_update_build.main)
+    from tools import probe_merge_dup
+    run("merge_dup", probe_merge_dup.main)
     from tools import probe_scatter_dup
     run("scatter_dup", probe_scatter_dup.main)
-    from tools import probe_fastnet
-    run("fastnet", probe_fastnet.main)
     from tools import probe_pallas_caps3
     run("pallas_caps3", probe_pallas_caps3.main)
+    from tools import probe_fastnet
+    run("fastnet", probe_fastnet.main)
 
 
 if __name__ == "__main__":

@@ -62,10 +62,15 @@ def main():
     sem_keys = jnp.concatenate([sem_keys] * reps, axis=0)
     masks = jnp.concatenate([masks] * reps, axis=0)
 
+    import functools
     for mode in ("minor16", "lane128"):
         rowvol.UPDATE_BUILD = mode
 
-        @jax.jit
+        # DONATE the state: without donation the program holds input +
+        # output copies of the 4.3 GB (geo, key) state next to ~2 GB of
+        # xs and OOMs 16 GB HBM (round-4 session run 1). The state
+        # chains through every call, exactly like the production scan.
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
         def f(geo, key, crs, values, sem_keys, masks):
             def body(carry, inp):
                 g, k = carry
@@ -76,13 +81,14 @@ def main():
                                      (crs, values, sem_keys, masks))
             return g, k
 
-        g, k = f(geo, key, crs, values, sem_keys, masks)
-        float(jnp.sum(g[::65536, ::64]) + jnp.sum(k[::65536, ::64]))
+        geo, key = f(geo, key, crs, values, sem_keys, masks)
+        float(jnp.sum(geo[::65536, ::64]) + jnp.sum(key[::65536, ::64]))
         best = 1e30
         for _ in range(3):
             t0 = time.perf_counter()
-            g2, k2 = f(geo, key, crs, values, sem_keys, masks)
-            float(jnp.sum(g2[::65536, ::64]) + jnp.sum(k2[::65536, ::64]))
+            geo, key = f(geo, key, crs, values, sem_keys, masks)
+            float(jnp.sum(geo[::65536, ::64])
+                  + jnp.sum(key[::65536, ::64]))
             best = min(best, time.perf_counter() - t0)
         print(f"{mode:10s}: {best / T * 1e3:7.2f} ms/frame "
               f"(geo+key integrate, {T} frames)", flush=True)
