@@ -80,6 +80,12 @@ def build_config(h, w):
     # path (its custom_vmap rule regression killed multi512 in round 3)
     if os.environ.get("SEGFUSION_DIRTY_SHADOW"):
         cfg.SETTINGS.dirty_shadow = os.environ["SEGFUSION_DIRTY_SHADOW"]
+    # semantic-integration decimation (key scatter every k-th frame);
+    # default 1 = exact reference parity. A/B knob for the headline
+    # (SEGFUSION_SEM_EVERY=4 skips ~3/4 of the ~22 ms key scatter).
+    if os.environ.get("SEGFUSION_SEM_EVERY"):
+        cfg.SETTINGS.sem_integrate_every = int(
+            os.environ["SEGFUSION_SEM_EVERY"])
     cfg.DATA.resx = w
     cfg.DATA.resy = h
     cfg.DATA.init_value = 0.1

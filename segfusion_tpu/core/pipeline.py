@@ -158,6 +158,18 @@ class Pipeline:
         self.sem_prepass_batch = int(
             config.SETTINGS.get("sem_prepass_batch", 8))
 
+        # semantic-integration decimation: the key scatter-max runs only
+        # on every k-th frame of a sequence scan (lax.cond). The key
+        # scatter is row-bound at ~22 ms/frame at 448^3/256^2
+        # (PERFORMANCE.md) while the semantic volume is a
+        # winner-takes-max accumulator, so decimation drops observations
+        # without corrupting state; the reference never updates
+        # semantics during training at all (modules/integrator.py:90,
+        # test=True gate). Default 1 = exact reference parity (no cond
+        # in the graph). Quality cost quantified in STATUS.md.
+        self.sem_every = int(
+            config.SETTINGS.get("sem_integrate_every", 1))
+
         self.fusion_net = build_fusion_net(config.FUSION_MODEL)
         # segmenter: optional object with .apply_fn(params, image, depth)
         # -> (h, w, C) logits (+ optional .apply_fn_batched with a
@@ -557,13 +569,16 @@ class Pipeline:
 
     def step_fuse_rows_impl(self, params_and_stats, layout,
                             rv: rowvol.RowVolume, frame, seg_params,
-                            shadow_carry=None):
+                            shadow_carry=None, do_sem=None):
         """Inference step over the row-layout state: 2 row gathers + 1
         512-lane scatter-add + 1 256-lane scatter-max per (ray, sample)
         replace the flat path's 8/16/8 scalar random accesses. Same
         pipeline semantics as :meth:`step_fuse_impl`. Returns
         ``(new_rv, new_shadow_carry)`` (carry None iff ``shadow_carry``
-        was None -- see :meth:`_row_frontend`)."""
+        was None -- see :meth:`_row_frontend`). ``do_sem`` is the
+        optional traced semantic-decimation gate (sequence scans pass
+        ``frame_idx % sem_every == 0`` when SETTINGS.sem_integrate_every
+        > 1)."""
         params, batch_stats = params_and_stats
         cr, _, _, inputs, sem_ids, scores, filtered, new_carry = \
             self._row_frontend(layout, rv, frame, seg_params,
@@ -578,7 +593,8 @@ class Pipeline:
         sem_key = (integ.pack_semantic_key(scores, sem_ids)
                    if self.semantics else None)
         new_geo, new_key = rowvol.integrate_rows(
-            rv.geo, rv.key, cr, upd_values, sem_key, ray_mask, t)
+            rv.geo, rv.key, cr, upd_values, sem_key, ray_mask, t,
+            do_sem=do_sem)
         return rv._replace(geo=new_geo, key=new_key), new_carry
 
     def step_train_rows_impl(self, params, batch_stats, layout,
@@ -753,18 +769,26 @@ class Pipeline:
         tools/profile_trace.py)."""
         frames = self._sem_prepass_frames(frames, seg_params,
                                           need_sem=self.semantics)
+        decimate = self.semantics and self.sem_every > 1
+        T = jax.tree_util.tree_leaves(frames)[0].shape[0]
+        # per-chunk phase: frame 0 of every chunk integrates semantics,
+        # so the decimation rate holds across fuse_many chunk boundaries
+        # without a cross-chunk counter in the carry
+        idxs = jnp.arange(T, dtype=jnp.int32)
 
-        def row_body(stream, frame):
+        def row_body(stream, xs):
+            frame, idx = xs
             carry = (None if stream.shadow is None
                      else (stream.shadow, stream.dirty))
+            do_sem = (idx % self.sem_every == 0) if decimate else None
             rv, carry = self.step_fuse_rows_impl(
                 params_and_stats, layout, stream.rv, frame, seg_params,
-                shadow_carry=carry)
+                shadow_carry=carry, do_sem=do_sem)
             if carry is None:
                 return RowStream(rv, None, None), None
             return RowStream(rv, carry[0], carry[1]), None
 
-        stream, _ = jax.lax.scan(row_body, stream, frames)
+        stream, _ = jax.lax.scan(row_body, stream, (frames, idxs))
         return stream
 
     fuse_sequence_rows = functools.partial(

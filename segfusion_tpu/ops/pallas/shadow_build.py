@@ -55,6 +55,21 @@ def _pick_ty(Y: int, max_ty=None) -> int:
     return pick_ty(Y, max_ty)
 
 
+def _compiler_params():
+    """Raise Mosaic's scoped-VMEM cap (default 16 MB) toward the
+    physical VMEM so tall shadow tiles compile. The kernels are DMA
+    ISSUE-bound (~2-3 us/copy x 2 copies/tile; measured floor ~20 ms at
+    448^3 with TY=56 = 7168 copies), so fewer/taller tiles are the only
+    remaining lever -- TY=112 needs 19.4 MB of compute temps and died on
+    the default cap in the round-4 TY sweep. Strided multi-row DMA
+    (x-grouping) is NOT an alternative: probing it crashed the TPU
+    worker (tools/probe_pallas_caps3.py, round 4)."""
+    try:
+        return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    except (AttributeError, TypeError):
+        return None
+
+
 def _pack16(num, w):
     """(bf16(num) << 16) | bf16(w) -- geometry.pack16_numw in i32 ops.
 
@@ -207,6 +222,7 @@ def build_shadow_pallas(geo: jnp.ndarray, layout, interpret: bool = False,
         out_shape=jax.ShapeDtypeStruct((X, Y * GK, 128), jnp.uint32),
         scratch_shapes=[pltpu.VMEM((2, (TY + 2) * G, 128), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))],
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(geo)
     return out.reshape(L.shadow_rows, 128)
@@ -315,6 +331,7 @@ def build_shadow_dirty_pallas(geo: jnp.ndarray, prev_shadow: jnp.ndarray,
             ]),
         out_shape=jax.ShapeDtypeStruct((X, Y * GK, 128), jnp.uint32),
         input_output_aliases={2: 0},   # prev_shadow (after scalars) -> out
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(dirty, geo, prev_shadow.reshape(X, Y * GK, 128))
     return out.reshape(L.shadow_rows, 128)
@@ -396,6 +413,7 @@ def reconcile_slot_pallas(geo: jnp.ndarray, layout,
                    jax.ShapeDtypeStruct((X, Y, Zp), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((2, (TY + 2) * G, 128), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))],
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(geo)
     return num[:, :, :L.Z], w[:, :, :L.Z]
@@ -507,6 +525,7 @@ def reconcile_key_pallas(key: jnp.ndarray, layout, interpret: bool = False,
         scratch_shapes=[pltpu.VMEM((2, (TY + 1) * GK, 128), jnp.int32),
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA((2,))],
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(key)
     return k[:, :, :L.Z]

@@ -88,32 +88,25 @@ EXTRACT_REDUCE = os.environ.get("SEGFUSION_EXTRACT_REDUCE", "select128")
 
 # Scatter update-build formulation; "minor16" (one-hot over (M, C, S)
 # minor-dim intermediates + relayout reshape) vs "lane128" (128-lane
-# select tree, no relayout). Bit-exact to each other; pick by
-# measurement (tools/probe_update_build.py).
-UPDATE_BUILD = os.environ.get("SEGFUSION_UPDATE_BUILD", "minor16")
+# select tree, no relayout). Bit-exact to each other. MEASURED round 4
+# (tools/probe_update_build.py on TPU, donated composed loop at
+# 448^3/256^2): lane128 47.38 vs minor16 49.77 ms/frame for the full
+# geo+key integrate stage -- the select tree saves the relayout.
+UPDATE_BUILD = os.environ.get("SEGFUSION_UPDATE_BUILD", "lane128")
 
-# In-ray duplicate-row merging before the scatters: consecutive tail
-# samples along a ray usually hit the SAME slot row (geo z-groups span
-# 16 voxels, y_lo rarely steps between neighbouring samples), so many of
-# the (M, 128) update rows are duplicates. When on, duplicates within
-# each (ray, x-corner) tail are summed (geo) / maxed (key) into their
-# first occurrence and the leftovers re-target row 0 with neutral values
-# (geo row 0 is a y=-1 pad row -- adding zeros preserves the writer
-# invariant; key scatter-max of 0 is a no-op). This pays ONLY if XLA TPU
-# scatter cost follows distinct-row structure rather than update-row
-# count -- pick by measurement (tools/probe_scatter_dup.py,
-# probe_merge_dup.py). NOT bit-exact to the unmerged path (the duplicate
-# contributions are pre-summed in a different association order);
-# equivalence is allclose (tests/test_rowvol.py).
+# In-ray duplicate-row merging before the scatters. MEASURED round 4
+# and DEAD: the real in-tail duplicate-row fraction is 0.028 (not the
+# hypothesised ~6/7 -- a ray stepping ~1 voxel/sample changes x or y_lo
+# almost every sample unless it is z-dominant AND axis-aligned), and the
+# merge machinery itself costs +37 ms/frame (tools/probe_merge_dup.py on
+# TPU: 49.7 -> 86.9 ms integrate stage). Kept only as an A/B flag; the
+# whole duplicate-row-structure lever family (this and GATHER_DEDUP)
+# does not apply to real ray geometry.
 MERGE_DUP = os.environ.get("SEGFUSION_MERGE_DUP", "0") == "1"
 
-# In-tail gather dedup for extraction: consecutive samples along a ray
-# usually read the SAME shadow row (shadow z-groups span 32 voxels).
-# When on, duplicate consecutive gather rows within each (x-corner, ray)
-# tail are re-targeted at row 0 and the gathered values forward-filled
-# with p-1 fused (2n, 128) selects. BIT-EXACT (reusing a gathered row ==
-# re-gathering it); pays only if XLA TPU gather cost follows distinct-row
-# structure (tools/probe_scatter_dup.py cases G-J, probe_extract_variants).
+# In-tail gather dedup for extraction: same dead hypothesis as MERGE_DUP
+# (measured duplicate fraction 0.028; the dedup variant regressed
+# extraction 24.4 -> 39.8 ms/frame, tools/probe_extract_variants.py).
 GATHER_DEDUP = os.environ.get("SEGFUSION_GATHER_DEDUP", "0") == "1"
 
 # Shadow-build y-tile height cap, shared by the dirty-tile mask and BOTH
@@ -761,34 +754,50 @@ def _merge_runs(rows, upd, t, combine, neutral):
             jnp.stack(out, 1).reshape(b * t, 128))
 
 
-def _integrate_block(geo, key, b: _UpdateBlock, t_merge: int = 0):
+def _geo_scatter(geo, b: _UpdateBlock, t_merge: int = 0):
     upd = _build_geo_update(b.sgs, b.vals8)
     rows = b.rows
     if t_merge > 1:
         rows, upd = _merge_runs(rows, upd, t_merge, jnp.add,
                                 jnp.float32(0))
-    geo = geo.at[rows].add(upd)
+    return geo.at[rows].add(upd)
 
-    if b.kvals is None:
-        return geo, key
+
+def _key_scatter(key, b: _UpdateBlock, t_merge: int = 0):
     kupd = _build_key_update(b.ksl, b.kvals)
     krows = b.k_rows
     if t_merge > 1:
         # keys are >= 0, so 0 is the max-neutral element
         krows, kupd = _merge_runs(krows, kupd, t_merge, jnp.maximum,
                                   jnp.int32(0))
-    key = key.at[krows].max(kupd)
-    return geo, key
+    return key.at[krows].max(kupd)
+
+
+def _integrate_block(geo, key, b: _UpdateBlock, t_merge: int = 0):
+    geo = _geo_scatter(geo, b, t_merge)
+    if b.kvals is None:
+        return geo, key
+    return geo, _key_scatter(key, b, t_merge)
 
 
 def integrate_rows(geo, key, cr: CornerRows, values, sem_key, ray_mask,
-                   n_tail: int, chunk: int = _INTEGRATE_CHUNK):
+                   n_tail: int, chunk: int = _INTEGRATE_CHUNK,
+                   do_sem=None):
     """Scatter the frame's updates into the slot state: ONE 128-lane
     scatter-add (all 4 (y, z) corners x {num, w}) and ONE 128-lane
     scatter-max (all 4 corner keys) per (ray, tail-sample, x-corner).
     Reference update math: modules/integrator.py:55-124. Very large
     frames stream through in a few python-unrolled chunks so the built
-    update tensors stay bounded."""
+    update tensors stay bounded.
+
+    ``do_sem``: optional traced bool -- when given (and ``sem_key`` is
+    not None), the key scatter-max runs under ``lax.cond`` so semantic
+    integration can be decimated to every k-th frame
+    (SETTINGS.sem_integrate_every; the key scatter is row-bound at
+    ~22 ms/frame at 448^3/256^2 and the semantic volume is a
+    winner-takes-max accumulator, so skipping frames only drops
+    observations, it cannot corrupt state). The geo scatter always
+    runs."""
     t = n_tail
     n = cr.ksl.shape[0]
     m = n * t
@@ -861,15 +870,27 @@ def integrate_rows(geo, key, cr: CornerRows, values, sem_key, ray_mask,
     # run-merge only when every chunk holds whole (ray, x-corner) tails
     t_merge = t if (MERGE_DUP and (m // kch) % t == 0) else 0
     if kch == 1:
-        return _integrate_block(geo, key, blk, t_merge)
-    blkk = jax.tree_util.tree_map(
-        lambda a: a.reshape((kch, m // kch) + a.shape[1:]), blk)
+        chunks = [blk]
+    else:
+        blkk = jax.tree_util.tree_map(
+            lambda a: a.reshape((kch, m // kch) + a.shape[1:]), blk)
+        chunks = [jax.tree_util.tree_map(lambda a, i=i: a[i], blkk)
+                  for i in range(kch)]
 
     # UNROLLED python loop, not lax.scan: a while-loop carry of the
     # multi-GB (geo, key) state forces XLA to copy the carry every chunk
     # iteration (~10 ms/GB/iter, tools/probe_slot_scatter.py).
     # Unrolled, each scatter aliases its input buffer in place.
-    for i in range(kch):
-        bc = jax.tree_util.tree_map(lambda a: a[i], blkk)
-        geo, key = _integrate_block(geo, key, bc, t_merge)
-    return geo, key
+    for bc in chunks:
+        geo = _geo_scatter(geo, bc, t_merge)
+    if kvals is None:
+        return geo, key
+
+    def all_keys(k):
+        for bc in chunks:
+            k = _key_scatter(k, bc, t_merge)
+        return k
+
+    if do_sem is None:
+        return geo, all_keys(key)
+    return geo, jax.lax.cond(do_sem, all_keys, lambda k: k, key)

@@ -68,7 +68,7 @@ def main():
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(1,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_specs=pl.BlockSpec((WG, 128), lambda i, s: (0, 0)),
             scratch_shapes=[pltpu.VMEM((WY, WG, 128), jnp.float32),
                             pltpu.SemaphoreType.DMA]),
         out_shape=jax.ShapeDtypeStruct((WG, 128), jnp.float32),
@@ -84,7 +84,7 @@ def main():
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(1,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_specs=pl.BlockSpec((WN, 128), lambda i, s: (0, 0)),
             scratch_shapes=[pltpu.VMEM((WN, 128), jnp.float32),
                             pltpu.SemaphoreType.DMA]),
         out_shape=jax.ShapeDtypeStruct((WN, 128), jnp.float32),
@@ -121,6 +121,59 @@ def main():
 
     bench("strided (58, 7, 128) window", win, offs, x3)
     bench("contiguous same bytes", flat, offs_f, x2)
+
+    # x-grouping shape (round 4): FEW LARGE segments -- a (GX, TY*G, 128)
+    # window of the state viewed as (X, (Y+2)*G, 128). If this costs ~1
+    # issue (not GX), grouping GX x-slabs per shadow tile divides the
+    # shadow build's DMA issue count (its measured floor: ~20 ms at
+    # 448^3 = 7168 copies x ~2.7 us) by GX.
+    GX, SEG = 4, 1624            # 4 slabs x (TY=56: (56+2)*28 rows)
+    XSL = RY * G // 12600        # view: (8, 12600, 128)
+    x4 = x2.reshape(XSL, 12600, 128)
+    offs_g = np.zeros(2 * REPS, np.int32)
+    offs_g[0::2] = rng.randint(0, XSL - GX, REPS)
+    offs_g[1::2] = rng.randint(0, 12600 - SEG, REPS)
+    offs_g = jnp.asarray(offs_g)
+    ggrp = pl.pallas_call(
+        functools.partial(_win_kernel, R=XSL, WY=GX, WG=SEG, REPS=REPS),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(1,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((SEG, 128), lambda i, s: (0, 0)),
+            scratch_shapes=[pltpu.VMEM((GX, SEG, 128), jnp.float32),
+                            pltpu.SemaphoreType.DMA]),
+        out_shape=jax.ShapeDtypeStruct((SEG, 128), jnp.float32),
+        interpret=interp,
+    )
+    offs_c = np.zeros(2 * REPS, np.int32)
+    offs_c[0::2] = rng.randint(0, RY * G - GX * SEG, REPS)
+    offs_c = jnp.asarray(offs_c)
+    cgrp = pl.pallas_call(
+        functools.partial(_flat_kernel, R=RY * G, WN=GX * SEG, REPS=REPS),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(1,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((GX * SEG, 128), lambda i, s: (0, 0)),
+            scratch_shapes=[pltpu.VMEM((GX * SEG, 128), jnp.float32),
+                            pltpu.SemaphoreType.DMA]),
+        out_shape=jax.ShapeDtypeStruct((GX * SEG, 128), jnp.float32),
+        interpret=interp,
+    )
+
+    def bench2(name, fn, *args, byt=0):
+        fn(*args).block_until_ready()
+        best = 1e30
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(jnp.sum(fn(*args)))
+            best = min(best, time.perf_counter() - t0)
+        print(f"{name:28s}: {best * 1e3:7.3f} ms for {REPS} copies "
+              f"({byt / best / 2 ** 30:6.1f} GiB/s, "
+              f"{best / REPS * 1e6:6.1f} us/copy)")
+
+    byt_g = REPS * GX * SEG * 128 * 4
+    bench2(f"strided ({GX}, {SEG}, 128) win", ggrp, offs_g, x4, byt=byt_g)
+    bench2("contiguous same bytes (big)", cgrp, offs_c, x2, byt=byt_g)
 
 
 if __name__ == "__main__":
