@@ -352,7 +352,7 @@ def shadow_tiling(layout: RowLayout) -> Tuple[int, int]:
 
 
 def dirty_tile_mask(points_v: jnp.ndarray, layout: RowLayout,
-                    tile_px: int = 8) -> jnp.ndarray:
+                    tile_px: Optional[int] = None) -> jnp.ndarray:
     """(X * NJ + 1,) i32 conservative dirty mask over shadow-build tiles
     (x-slab, y-tile) for ONE frame's integration footprint.
 
@@ -371,10 +371,21 @@ def dirty_tile_mask(points_v: jnp.ndarray, layout: RowLayout,
     ``points_v`` is (n, p, 3) with n = h*w rays in image scan order;
     the reduction granularity is ``tile_px`` x ``tile_px`` image tiles
     (the (x, j) rasterisation is an (X, T) x (T, NJ) bool-matmul, tiny
-    next to the volume passes it gates)."""
+    next to the volume passes it gates). Default granularity is PER RAY
+    (tile_px 1) up to 65536 rays: the dirty rebuild is COMPUTE-bound
+    (~23 ms full volume, flat in TY -- round-4 sweep), so the dirty
+    fraction multiplies its cost directly, and per-ray bboxes mark 0.35
+    of the volume on the real bench trajectory vs 0.58 for the old 8x8
+    image tiles (tools/probe_dirty_fraction.py; a multi-ray tile's bbox
+    smears each ray's thin tail shell into a thick slab). Larger frames
+    coarsen so the (T, X) rasterisation stays <= ~120 MB."""
     L = layout
     TY, NJ = shadow_tiling(L)
     n, p, _ = points_v.shape
+    if tile_px is None:
+        tile_px = 1
+        while n // (tile_px * tile_px) > 65536:
+            tile_px *= 2
     # n = h*w with h == w not guaranteed; infer the image height from the
     # caller-invariant that rays are h*w in scan order. The reduction only
     # needs SOME tiling of the ray axis; use flat 1-D tiles of
