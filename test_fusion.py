@@ -106,6 +106,7 @@ def test_fusion(config):
         workspace.log("--- semantic metrics ---", "test")
         for k, v in sem_results.items():
             workspace.log(f"{k}: {v}", "test")
+            eval_results[f"sem_{k}"] = v
 
     for scene in database.scenes:
         if database.state[scene]:
