@@ -141,6 +141,17 @@ class Pipeline:
             config.FUSION_MODEL.name == "v3"
             and not bool(config.FUSION_MODEL.get("stack_heads", False))
             and (fused == "on" or (fused == "auto" and is_bf16)))
+        # matmul-form TRAINING forward (fusionnet_fast.apply_v3_train):
+        # same conv-op-floor motivation as the inference executor, but on
+        # the raw Flax trees with train-mode BN + dropout so grads and
+        # running-stat updates match the Flax path (tolerance-level
+        # numerics, not bit-exact -- dropout uses its own rng stream).
+        # "auto" follows fused_net; force with SETTINGS.fused_net_train.
+        ft = config.SETTINGS.get("fused_net_train", "auto")
+        self.fused_net_train = (
+            config.FUSION_MODEL.name == "v3"
+            and not bool(config.FUSION_MODEL.get("stack_heads", False))
+            and (ft == "on" or (ft == "auto" and self.fused_net)))
         self.fused_dtype = jnp.bfloat16 if is_bf16 else jnp.float32
         self.fused_conv3x3 = config.SETTINGS.get("fused_conv3x3", "dots9")
         # branch-batched vortex matmuls (6 dots vs 18 convs per vortex)
@@ -227,6 +238,18 @@ class Pipeline:
             est = ff.apply_v3(params, inputs, dtype=self.fused_dtype,
                               conv3x3=self.fused_conv3x3)
             return est[..., : self.n_points], batch_stats
+        if train and self.fused_net_train \
+                and not (isinstance(params, dict) and "meta" in params):
+            from ..models import fusionnet_fast as ff
+            cfg = self.config.FUSION_MODEL
+            est, new_stats = ff.apply_v3_train(
+                params, batch_stats, inputs, rng,
+                growth_factor=int(cfg.growth_factor),
+                use_semantics=self.use_semantics,
+                n_points=self.n_points,
+                output_scale=float(cfg.output_scale),
+                dtype=self.fused_dtype, conv3x3=self.fused_conv3x3)
+            return est, new_stats
         variables = {"params": params, "batch_stats": batch_stats}
         if train:
             out, mutated = self.fusion_net.apply(

@@ -214,12 +214,15 @@ class FusionHead(nn.Module):
     gf: int
     pool_in: int
     dtype: Any = None
+    dropout: float = 0.2
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = _dense_blocks(x, [Block(self.n_ch, dtype=self.dtype)
+        x = _dense_blocks(x, [Block(self.n_ch, dropout=self.dropout,
+                                    dtype=self.dtype)
                               for _ in range(self.gf)], train)
         return VortexPooling(self.n_ch, self.pool_in,
+                             dropout=self.dropout,
                              dtype=self.dtype)(x, train=train)
 
 
@@ -245,6 +248,7 @@ class FusionNetV3(nn.Module):
     growth_factor: int = 6
     dtype: Any = None
     stack_heads: bool = False
+    dropout: float = 0.2
 
     @nn.compact
     def __call__(self, data: Dict[str, jnp.ndarray], train: bool = False):
@@ -273,18 +277,23 @@ class FusionNetV3(nn.Module):
             x_sem = _cat_inputs(data, ["tsdf_values", "tsdf_weights",
                                        "semantic_frame"])
             y_t = FusionHead(n_ch, gf, pool_in, dtype=self.dtype,
+                             dropout=self.dropout,
                              name="head_tsdf")(x_tsdf, train=train)
             y_s = FusionHead(n_ch, gf, pool_in, dtype=self.dtype,
+                             dropout=self.dropout,
                              name="head_sem")(x_sem, train=train)
             y = jnp.concatenate([y_t, y_s], axis=-1)
         else:
             y = FusionHead(n_ch, gf, pool_in, dtype=self.dtype,
+                           dropout=self.dropout,
                            name="FusionHead_0")(x_tsdf, train=train)
 
-        y = VortexPooling(n_ch, pool_in, dtype=self.dtype)(y, train=train)
+        y = VortexPooling(n_ch, pool_in, dropout=self.dropout,
+                          dtype=self.dtype)(y, train=train)
         for i in range(gf):
             pts = self.n_points if i == gf - 1 else None
             y = Pred((gf - i) * n_ch, n_points=pts,
+                     dropout=self.dropout,
                      dtype=self.dtype)(y, train=train)
         return self.output_scale * y
 

@@ -376,6 +376,246 @@ def apply_v3(folded, inputs: Dict[str, jnp.ndarray], *,
     return est.reshape(1, H * W, meta.n_points)
 
 
+# -- training forward ---------------------------------------------------------
+#
+# The same matmul-form lowering for TRAINING: raw Flax param trees (no BN
+# folding -- grads must flow to the original parameters), train-mode
+# BatchNorm with explicit batch statistics + running-average updates, and
+# channel-broadcast dropout. Works directly on the Flax {params,
+# batch_stats} trees so jax.grad produces gradients in the Flax tree
+# structure (drop-in for Pipeline._network_estimate's train path); the
+# returned new batch_stats mirror Flax's mutable["batch_stats"] updates
+# (momentum 0.99, float32 stats, use_fast_variance semantics).
+# Measured motivation: the Flax conv forward costs 16.55 ms/frame at
+# 256^2 gf6 vs 6.36 for the matmul form (tools/probe_fastnet.py); in
+# training the conv-op floor is paid again in the backward pass.
+
+_BN_MOMENTUM = 0.99
+
+
+class _TrainCtx:
+    """Per-apply mutable bookkeeping: dropout rng counter and the
+    updated running stats collected along the walk."""
+
+    def __init__(self, rng, dropout_rate):
+        self.rng = rng
+        self.rate = dropout_rate
+        self.n = 0
+        self.new_stats = {}
+
+    def next_rng(self):
+        self.n += 1
+        return jax.random.fold_in(self.rng, self.n)
+
+    def put_stats(self, path, mean, var):
+        d = self.new_stats
+        for k in path[:-1]:
+            d = d.setdefault(k, {})
+        d[path[-1]] = {"mean": mean, "var": var}
+
+
+def _bn_train(x, bn_p, stats, path, ctx, dtype):
+    """Flax nn.BatchNorm(train): batch stats over all non-feature axes
+    in f32 (fast variance, clamped), normalize, affine; running averages
+    updated with momentum 0.99."""
+    xf = x.astype(jnp.float32)
+    axes = tuple(range(xf.ndim - 1))
+    mean = jnp.mean(xf, axis=axes)
+    mean2 = jnp.mean(jnp.square(xf), axis=axes)
+    var = jnp.maximum(0.0, mean2 - jnp.square(mean))
+    ra_m = jnp.asarray(stats["mean"], jnp.float32)
+    ra_v = jnp.asarray(stats["var"], jnp.float32)
+    ctx.put_stats(path, _BN_MOMENTUM * ra_m + (1 - _BN_MOMENTUM) * mean,
+                  _BN_MOMENTUM * ra_v + (1 - _BN_MOMENTUM) * var)
+    y = (xf - mean) * jax.lax.rsqrt(var + _BN_EPS)
+    y = y * jnp.asarray(bn_p["scale"], jnp.float32) \
+        + jnp.asarray(bn_p["bias"], jnp.float32)
+    return y.astype(dtype)
+
+
+def _dropout(x, ctx, dtype):
+    """nn.Dropout(rate, broadcast_dims=(1, 2)) on (H, W, C): one
+    (1, 1, C) keep mask, inverted scaling."""
+    if ctx.rate <= 0.0:
+        return x
+    keep = 1.0 - ctx.rate
+    mask = jax.random.bernoulli(ctx.next_rng(), keep, (1, 1, x.shape[-1]))
+    return jnp.where(mask, x / jnp.asarray(keep, x.dtype),
+                     jnp.zeros((), x.dtype)).astype(dtype)
+
+
+def _t_conv1x1(x, conv, act, dtype):
+    w = jnp.asarray(conv["kernel"])
+    if w.ndim == 4:
+        w = w[0, 0]
+    acc = _dot(x, w.astype(x.dtype)) + jnp.asarray(conv["bias"],
+                                                   jnp.float32)
+    if act == "leaky":
+        acc = jnp.where(acc >= 0, acc, _LEAKY_SLOPE * acc)
+    elif act == "relu":
+        acc = jnp.maximum(acc, 0.0)
+    elif act == "tanh":
+        return jnp.tanh(acc)
+    return acc.astype(dtype)
+
+
+def _t_conv3x3(x, conv, rate, dtype, mode):
+    w = jnp.asarray(conv["kernel"])
+    H, W, Cin = x.shape
+    d = rate
+    xp = jnp.pad(x, ((d, d), (d, d), (0, 0)))
+    taps = [xp[i * d:i * d + H, j * d:j * d + W]
+            for i in range(3) for j in range(3)]
+    if mode == "im2col":
+        t = jnp.concatenate(taps, axis=-1)
+        acc = _dot(t, w.reshape(9 * Cin, -1).astype(x.dtype))
+    else:
+        wt = _w2d(w)
+        acc = _dot(taps[0], wt[0].astype(x.dtype))
+        for tp, wk in zip(taps[1:], wt[1:]):
+            acc = acc + _dot(tp, wk.astype(x.dtype))
+    return (acc + jnp.asarray(conv["bias"], jnp.float32)).astype(dtype)
+
+
+def _t_block(x, p, s, path, ctx, dtype, mode):
+    """Block: (conv3x3 -> BN -> leaky -> dropout) x2, dense output is
+    concatenated by the caller."""
+    for i in range(2):
+        x = _t_conv3x3(x, p[f"Conv_{i}"], 1, dtype, mode)
+        x = _bn_train(x, p[f"BatchNorm_{i}"], s[f"BatchNorm_{i}"],
+                      path + (f"BatchNorm_{i}",), ctx, jnp.float32)
+        x = jnp.where(x >= 0, x, _LEAKY_SLOPE * x).astype(dtype)
+        x = _dropout(x, ctx, dtype)
+    return x
+
+
+def _t_vortex(x, p, s, path, ctx, dtype, mode, rates=(1, 3, 9, 27)):
+    H, W, _ = x.shape
+
+    def cbn(i, inp, act):
+        y = (_t_conv1x1(inp, p[f"Conv_{i}"], None, jnp.float32)
+             if p[f"Conv_{i}"]["kernel"].shape[:2] == (1, 1)
+             else _t_conv3x3(inp, p[f"Conv_{i}"],
+                             rates[(i - 1) // 4], jnp.float32, mode))
+        y = _bn_train(y, p[f"BatchNorm_{i}"], s[f"BatchNorm_{i}"],
+                      path + (f"BatchNorm_{i}",), ctx, jnp.float32)
+        if act == "relu":
+            y = jnp.maximum(y, 0.0)
+        return y.astype(dtype)
+
+    g = jnp.mean(x.astype(jnp.float32), axis=(0, 1),
+                 keepdims=True).astype(dtype)
+    g = _t_conv1x1(g, p["Conv_0"], None, dtype)
+    g = jnp.broadcast_to(g, (H, W, g.shape[-1]))
+    g = _bn_train(g, p["BatchNorm_0"], s["BatchNorm_0"],
+                  path + ("BatchNorm_0",), ctx, dtype)
+
+    branches = [g]
+    xp = x
+    for bi, rate in enumerate(rates):
+        inp = xp if bi == 0 else (xp := _avg_pool_3x3(xp))
+        b = cbn(4 * bi + 1, inp, "relu")
+        b = cbn(4 * bi + 2, b, "relu")
+        b = cbn(4 * bi + 3, b, "relu")
+        b = cbn(4 * bi + 4, b, "relu")
+        branches.append(b)
+    out = jnp.concatenate(branches, axis=-1)
+    out = cbn(17, out, None)
+    return _dropout(out, ctx, dtype)
+
+
+def _t_head(x, p, s, path, ctx, gf, dtype, mode):
+    for i in range(gf):
+        y = _t_block(x, p[f"Block_{i}"], s[f"Block_{i}"],
+                     path + (f"Block_{i}",), ctx, dtype, mode)
+        x = jnp.concatenate([x, y], axis=-1)
+    return _t_vortex(x, p["VortexPooling_0"], s["VortexPooling_0"],
+                     path + ("VortexPooling_0",), ctx, dtype, mode)
+
+
+def _t_pred(x, p, s, path, ctx, last, dtype, mode):
+    if not last:
+        for i in range(2):
+            x = _t_conv1x1(x, p[f"Conv_{i}"], None, jnp.float32)
+            x = _bn_train(x, p[f"BatchNorm_{i}"], s[f"BatchNorm_{i}"],
+                          path + (f"BatchNorm_{i}",), ctx, jnp.float32)
+            x = jnp.where(x >= 0, x, _LEAKY_SLOPE * x).astype(dtype)
+            x = _dropout(x, ctx, dtype)
+        return x
+    x = _t_conv1x1(x, p["Conv_0"], None, jnp.float32)
+    x = _bn_train(x, p["BatchNorm_0"], s["BatchNorm_0"],
+                  path + ("BatchNorm_0",), ctx, jnp.float32)
+    x = jnp.where(x >= 0, x, _LEAKY_SLOPE * x).astype(dtype)
+    x = _dropout(x, ctx, dtype)
+    x = _t_conv1x1(x, p["Conv_1"], "leaky", dtype)
+    return _t_conv1x1(x, p["Conv_2"], "tanh", dtype)
+
+
+def _merge_stats(old, new):
+    """Updated batch_stats tree: ``new`` overlays the walked BN paths,
+    untouched subtrees pass through."""
+    if isinstance(new, dict) and "mean" in new \
+            and not isinstance(new["mean"], dict):
+        return new                                 # BN leaf {mean, var}
+    return {k: (_merge_stats(old[k], new[k]) if k in new else old[k])
+            for k in old}
+
+
+def apply_v3_train(params, batch_stats, inputs, rng, *,
+                   growth_factor: int = 6, use_semantics: bool = True,
+                   n_points: int = 9, output_scale: float = 1.0,
+                   dropout_rate: float = 0.2, dtype=jnp.bfloat16,
+                   conv3x3: str = "dots9"):
+    """Training forward in matmul form on the RAW Flax trees: returns
+    (est (1, H*W, n_points) f32, new_batch_stats). Same architecture
+    walk as models.fusionnet.FusionNetV3 (unstacked heads); BatchNorm in
+    train mode (batch stats, f32), dropout active. ``rng`` seeds the
+    dropout masks (its own stream -- NOT bit-identical to Flax's
+    per-module rng folding; tests compare with dropout_rate=0)."""
+    meta = V3Meta(gf=growth_factor - 1, use_semantics=use_semantics,
+                  n_points=n_points, output_scale=output_scale)
+    ctx = _TrainCtx(rng if rng is not None else jax.random.PRNGKey(0),
+                    dropout_rate)
+    gf = meta.gf
+
+    def hw(a):
+        a = jnp.asarray(a)
+        if a.ndim == 4:
+            a = a[0]
+        return a.astype(dtype)
+
+    vals = hw(inputs["tsdf_values"])
+    wts = hw(inputs["tsdf_weights"])
+    dep = hw(inputs["tsdf_frame"])
+    x_t = jnp.concatenate([vals, wts, dep], axis=-1)
+
+    if use_semantics:
+        sem = hw(inputs["semantic_frame"])
+        x_s = jnp.concatenate([vals, wts, sem], axis=-1)
+        y_t = _t_head(x_t, params["head_tsdf"], batch_stats["head_tsdf"],
+                      ("head_tsdf",), ctx, gf, dtype, conv3x3)
+        y_s = _t_head(x_s, params["head_sem"], batch_stats["head_sem"],
+                      ("head_sem",), ctx, gf, dtype, conv3x3)
+        y = jnp.concatenate([y_t, y_s], axis=-1)
+    else:
+        y = _t_head(x_t, params["FusionHead_0"],
+                    batch_stats["FusionHead_0"], ("FusionHead_0",), ctx,
+                    gf, dtype, conv3x3)
+
+    y = _t_vortex(y, params["VortexPooling_0"],
+                  batch_stats["VortexPooling_0"], ("VortexPooling_0",),
+                  ctx, dtype, conv3x3)
+    for i in range(gf):
+        y = _t_pred(y, params[f"Pred_{i}"], batch_stats[f"Pred_{i}"],
+                    (f"Pred_{i}",), ctx, last=(i == gf - 1), dtype=dtype,
+                    mode=conv3x3)
+
+    H, W, _ = y.shape
+    est = (output_scale * y)[..., :n_points]
+    return (est.reshape(1, H * W, n_points),
+            _merge_stats(batch_stats, ctx.new_stats))
+
+
 class FastV3:
     """Convenience wrapper: fold once, apply many. Matches the call shape
     Pipeline._network_estimate expects from the Flax net at inference."""
