@@ -144,6 +144,19 @@ def _avg_pool_3x3(x):
     return s / jnp.asarray(9.0, x.dtype)
 
 
+def _avg_pool_3x3_train(x):
+    """Same pool as separable padded slice-sums: ``lax.reduce_window``
+    with a generic add closure has no reverse-mode rule (the train
+    executor differentiates through this; the zero pad reproduces
+    count_include_pad)."""
+    H, W, _ = x.shape
+    xp = jnp.pad(x, ((1, 1), (0, 0), (0, 0)))
+    v = xp[0:H] + xp[1:H + 1] + xp[2:H + 2]
+    vp = jnp.pad(v, ((0, 0), (1, 1), (0, 0)))
+    s = vp[:, 0:W] + vp[:, 1:W + 1] + vp[:, 2:W + 2]
+    return s / jnp.asarray(9.0, x.dtype)
+
+
 # -- folding the full model ---------------------------------------------------
 
 def _fold_block(p, s, name):
@@ -513,7 +526,7 @@ def _t_vortex(x, p, s, path, ctx, dtype, mode, rates=(1, 3, 9, 27)):
     branches = [g]
     xp = x
     for bi, rate in enumerate(rates):
-        inp = xp if bi == 0 else (xp := _avg_pool_3x3(xp))
+        inp = xp if bi == 0 else (xp := _avg_pool_3x3_train(xp))
         b = cbn(4 * bi + 1, inp, "relu")
         b = cbn(4 * bi + 2, b, "relu")
         b = cbn(4 * bi + 3, b, "relu")
