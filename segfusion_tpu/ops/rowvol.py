@@ -336,13 +336,21 @@ def build_shadow(geo, layout: RowLayout, impl: Optional[str] = None
 def pick_ty(Y: int, max_ty: Optional[int] = None) -> int:
     """Shadow-kernel y-tile height: the largest divisor of Y <= max_ty
     (default SHADOW_MAX_TY; shared by the Pallas kernel grid and the
-    dirty-tile mask)."""
+    dirty-tile mask).
+
+    Mosaic's blocked output specs require the second-minor block dim to
+    be divisible by 8 OR equal to the array dim (the full-build /
+    reconcile kernels' out blocks are (1, TY * GK, 128) / (1, TY, Zp)),
+    so TY must be a multiple of 8 unless it covers the whole Y extent --
+    e.g. Y = 84 has no 8-divisible divisor and takes TY = 84 (one
+    y-tile; fine at small Y, and large Y always has an 8-divisible
+    divisor after the Database's pad-to-multiple)."""
     if max_ty is None:
         max_ty = SHADOW_MAX_TY
     for ty in range(min(max_ty, Y), 0, -1):
-        if Y % ty == 0:
+        if Y % ty == 0 and ty % 8 == 0:
             return ty
-    return 1
+    return Y
 
 
 def shadow_tiling(layout: RowLayout) -> Tuple[int, int]:
