@@ -455,10 +455,12 @@ def main():
         a time if a mode fails (e.g. pre-pass activation OOM at 512^2, a
         Mosaic regression in the fused executor) -- a perf experiment
         must never sink the driver artifact."""
-        ladder = [{}, {"SEGFUSION_SEM_PREPASS": "off"},
+        ladder = [{}, {"SEGFUSION_FRAME_BLOCK": "1"},
+                  {"SEGFUSION_SEM_PREPASS": "off"},
                   {"SEGFUSION_FUSED_NET": "off"},
                   {"SEGFUSION_DIRTY_SHADOW": "off"},
-                  {"SEGFUSION_SEM_PREPASS": "off",
+                  {"SEGFUSION_FRAME_BLOCK": "1",
+                   "SEGFUSION_SEM_PREPASS": "off",
                    "SEGFUSION_FUSED_NET": "off",
                    "SEGFUSION_DIRTY_SHADOW": "off"}]
         # skip rungs that contradict an explicit outer env choice

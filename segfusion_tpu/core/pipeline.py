@@ -19,6 +19,7 @@ modules/pipeline.py:145-153 breaks XLA).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -177,9 +178,30 @@ class Pipeline:
         # without corrupting state; the reference never updates
         # semantics during training at all (modules/integrator.py:90,
         # test=True gate). Default 1 = exact reference parity (no cond
-        # in the graph). Quality cost quantified in STATUS.md.
+        # in the graph). Quality cost quantified in STATUS.md. When
+        # frame blocking is on (below), the unit is BLOCKS, not frames.
         self.sem_every = int(
             config.SETTINGS.get("sem_integrate_every", 1))
+
+        # frame-block integration (SETTINGS.frame_block = k): sequence
+        # scans process k frames per scan step -- every frame in the
+        # block extracts against the SAME pre-block state, the fusion/
+        # segmentation nets run batched over the block, and the geo
+        # scatter-add, key scatter-max and shadow rebuild are paid ONCE
+        # per block. The scatters' cost is dominated by a fixed
+        # full-state pass per scatter OP (~17 ms geo + ~8.5 ms key at
+        # 448^3, PERFORMANCE.md "scatter cost model"), which this
+        # amortises by k. APPROXIMATION: frame i>0 of a block fuses
+        # against state that is missing the block's earlier frames'
+        # updates (the scatter itself stays an exact commutative sum /
+        # max -- only the values the net SEES are up to k-1 frames
+        # stale). k=1 (default) is the exact per-frame recurrence;
+        # quality cost at k>1 quantified by tools/run_quality_demo.py
+        # (STATUS.md). Inference-only; training always steps per frame.
+        # Env SEGFUSION_FRAME_BLOCK overrides for no-edit A/B runs.
+        _fb = os.environ.get("SEGFUSION_FRAME_BLOCK")
+        self.frame_block = max(1, int(
+            _fb if _fb else config.SETTINGS.get("frame_block", 1)))
 
         self.fusion_net = build_fusion_net(config.FUSION_MODEL)
         # segmenter: optional object with .apply_fn(params, image, depth)
@@ -620,6 +642,110 @@ class Pipeline:
             do_sem=do_sem)
         return rv._replace(geo=new_geo, key=new_key), new_carry
 
+    # -- frame-block path (SETTINGS.frame_block > 1) ---------------------------
+
+    def _block_semantics(self, frames, seg_params):
+        """Block-batched (sem_ids, scores), each (k, h*w): pre-pass
+        values when attached, else a vmapped segmenter forward / gt."""
+        if "sem_ids_pre" in frames:
+            return frames["sem_ids_pre"], frames["sem_scores_pre"]
+        if self.semantic_strategy == "predict":
+            return jax.vmap(lambda im, d: self._predict_semantics(
+                seg_params, im, d))(frames["image"], frames["depth_input"])
+        k = frames["depth"].shape[0]
+        sem_ids = frames["semantic_gt"].reshape(k, -1).astype(jnp.uint8)
+        return sem_ids, jnp.ones_like(sem_ids, jnp.float32)
+
+    def _network_estimate_batch(self, params, batch_stats, inputs):
+        """(k, h, w, C) NHWC inputs -> (k, h*w, n_points) inference
+        estimates. The fused executor maps over the block (its
+        dot_generals batch on the MXU); the Flax module takes the block
+        as its native NHWC batch."""
+        if isinstance(params, dict) and "meta" in params:
+            from ..models import fusionnet_fast as ff
+            est = jax.vmap(lambda inp: ff.apply_v3(
+                params, inp, dtype=self.fused_dtype,
+                conv3x3=self.fused_conv3x3))(inputs)   # (k, 1, h*w, p)
+            return est[:, 0, :, : self.n_points]
+        out = self.fusion_net.apply(
+            {"params": params, "batch_stats": batch_stats}, inputs,
+            train=False)
+        b, h, w, _ = out.shape
+        return out[..., : self.n_points].reshape(b, h * w, self.n_points)
+
+    def step_fuse_rows_block_impl(self, params_and_stats, layout,
+                                  rv: rowvol.RowVolume, frames, seg_params,
+                                  shadow_carry=None, do_sem=None):
+        """k-frame block inference step: ``frames`` leaves have a leading
+        block axis (k, ...). Every frame extracts against the SAME
+        pre-block slot state (one shadow build), the nets run batched
+        over the block, and the block's k*n rays integrate through ONE
+        geo scatter-add + ONE key scatter-max -- the scatters' fixed
+        full-state pass (PERFORMANCE.md) is paid once per block instead
+        of once per frame. The integration itself is the exact
+        commutative sum/max of all k frames' updates; the approximation
+        is only that frame i's fusion-net inputs miss frames 0..i-1 of
+        its own block (quantified: tools/run_quality_demo.py). Replaces
+        the per-frame recurrence of :meth:`step_fuse_rows_impl`
+        (reference modules/pipeline.py:173-248) when
+        SETTINGS.frame_block > 1."""
+        params, batch_stats = params_and_stats
+        depth = frames["depth"]                        # (k, h, w)
+        k, h, w = depth.shape
+        n = h * w
+        filtered = jnp.where(frames["mask"], depth, 0.0)
+
+        if self.semantics:
+            sem_ids, scores = self._block_semantics(frames, seg_params)
+        else:
+            sem_ids = scores = None
+
+        points_w = jax.vmap(geometry.unproject)(
+            depth, frames["extrinsics"], frames["intrinsics"])
+        eyes = frames["extrinsics"][:, :3, 3].astype(jnp.float32)
+        points_v, _ = jax.vmap(
+            lambda pw, eye: geometry.sample_ray_points(
+                pw, eye, rv.origin, rv.resolution, self.n_points)
+        )(points_w, eyes)
+        points_v = points_v.reshape(k * n, self.n_points, 3)
+        cr = rowvol.corner_rows(points_v, layout)
+
+        if shadow_carry is not None:
+            prev_shadow, dirty = shadow_carry
+            shadow = rowvol.build_shadow_dirty(rv.geo, prev_shadow, dirty,
+                                               layout, impl=self.rows_impl)
+            new_carry = (shadow, rowvol.dirty_tile_mask(
+                points_v[:, :self.n_tail_points], layout))
+        else:
+            shadow = rowvol.build_shadow(rv.geo, layout,
+                                         impl=self.rows_impl)
+            new_carry = None
+        fv, fw = rowvol.extract_rows(shadow, cr, self.init_value,
+                                     geometry.INVALID_TSDF_FILL)
+
+        inputs = {
+            "tsdf_values": fv.reshape(k, h, w, self.n_points),
+            "tsdf_weights": fw.reshape(k, h, w, self.n_points),
+            "tsdf_frame": depth.reshape(k, h, w, 1),
+        }
+        if self.use_semantics:
+            sem = (1.0 + sem_ids.astype(jnp.float32)) / self.n_classes
+            inputs["semantic_frame"] = sem.reshape(k, h, w, 1)
+        tsdf_est = self._network_estimate_batch(params, batch_stats,
+                                                inputs)   # (k, n, p)
+
+        t = self.n_tail_points
+        upd_values = jnp.clip(tsdf_est[..., :t], -self.init_value,
+                              self.init_value).reshape(k * n, t)
+        ray_mask = filtered.reshape(-1) != 0.0
+        sem_key = (integ.pack_semantic_key(scores.reshape(-1),
+                                           sem_ids.reshape(-1))
+                   if self.semantics else None)
+        new_geo, new_key = rowvol.integrate_rows(
+            rv.geo, rv.key, cr, upd_values, sem_key, ray_mask, t,
+            do_sem=do_sem)
+        return rv._replace(geo=new_geo, key=new_key), new_carry
+
     def step_train_rows_impl(self, params, batch_stats, layout,
                              rv: rowvol.RowVolume, gt_shadow, frame,
                              seg_params, rng, shadow_carry=None):
@@ -794,6 +920,41 @@ class Pipeline:
                                           need_sem=self.semantics)
         decimate = self.semantics and self.sem_every > 1
         T = jax.tree_util.tree_leaves(frames)[0].shape[0]
+
+        kb = self.frame_block
+        if kb > 1:
+            # frame-block path: scan over ceil(T/kb) k-frame blocks
+            # (step_fuse_rows_block_impl). The tail pads with all-masked
+            # copies of the last frame -- weight-0 / key-0 no-op
+            # integrations, exactly like fuse_many's chunk padding.
+            pad = (-T) % kb
+            if pad:
+                frames = dict(frames)
+                for key in frames:
+                    x = frames[key]
+                    frames[key] = jnp.concatenate(
+                        [x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+                frames["mask"] = frames["mask"].at[T:].set(False)
+            nb = (T + pad) // kb
+            frames = jax.tree_util.tree_map(
+                lambda x: x.reshape((nb, kb) + x.shape[1:]), frames)
+            bidxs = jnp.arange(nb, dtype=jnp.int32)
+
+            def block_body(stream, xs):
+                frames_k, idx = xs
+                carry = (None if stream.shadow is None
+                         else (stream.shadow, stream.dirty))
+                do_sem = (idx % self.sem_every == 0) if decimate else None
+                rv, carry = self.step_fuse_rows_block_impl(
+                    params_and_stats, layout, stream.rv, frames_k,
+                    seg_params, shadow_carry=carry, do_sem=do_sem)
+                if carry is None:
+                    return RowStream(rv, None, None), None
+                return RowStream(rv, carry[0], carry[1]), None
+
+            stream, _ = jax.lax.scan(block_body, stream, (frames, bidxs))
+            return stream
+
         # per-chunk phase: frame 0 of every chunk integrates semantics,
         # so the decimation rate holds across fuse_many chunk boundaries
         # without a cross-chunk counter in the carry
