@@ -409,19 +409,34 @@ def bench_train():
     n_iters = accum * n_chunks
     rngs = jax.random.split(jax.random.PRNGKey(3), accum)
     resets = jnp.zeros((accum,), bool)
-    sum_w = jax.jit(lambda v: jnp.sum(v.weights))
 
-    note("bench: compiling train_sequence...")
-    loss, grads, volume, stats_w = pipe.train_sequence(
-        params, stats, volume, gt, frames, None, rngs, resets)
-    float(sum_w(volume))
+    # row-carried steady state, exactly how train_fusion.py drives it:
+    # enter rows + pack the gt shadow ONCE per scene, chain
+    # train_sequence_rows across grad-accum chunks (the per-chunk
+    # canonical<->slot conversions the old harness paid are NOT the
+    # production path)
+    from segfusion_tpu.ops import rowvol
+    layout = rowvol.RowLayout.for_shape(tuple(volume.num.shape))
+    gt_shadow = pipe._gt_shadow(layout, gt)
+    stream = pipe._new_stream(layout, pipe._enter_rows(layout, volume))
+    float(jnp.sum(stream.rv.geo[0]))
+    for buf in (volume.num, volume.weights, volume.semkey):
+        buf.delete()
+    gt.delete()
+
+    note("bench: compiling train_sequence_rows...")
+    loss, grads, stream, stats_w = pipe.train_sequence_rows(
+        layout, params, stats, stream, gt_shadow, frames, None, rngs,
+        resets)
+    float(jnp.sum(stream.rv.geo[0]))
     note("bench: warmup done, timing...")
 
     t0 = time.perf_counter()
     for _ in range(n_chunks):
-        loss, grads, volume, stats_w = pipe.train_sequence(
-            params, stats_w, volume, gt, frames, None, rngs, resets)
-    float(sum_w(volume))
+        loss, grads, stream, stats_w = pipe.train_sequence_rows(
+            layout, params, stats_w, stream, gt_shadow, frames, None,
+            rngs, resets)
+    float(jnp.sum(stream.rv.geo[0]))
     float(loss)
     dt = time.perf_counter() - t0
     fps = n_iters / dt

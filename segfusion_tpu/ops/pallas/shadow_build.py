@@ -120,10 +120,14 @@ def _shadow_tile_compute(v_all, *, TY, G, GK):
     lm0 = (lane2 % 16) == 0
 
     def prevgk(t):       # X[gk-1] along the z-group-pair axis
+        if t.shape[1] == 1:  # GK == 1: the empty tail slice is a Mosaic
+            return jnp.zeros_like(t)   # error ("positive constant sizes")
         return jnp.concatenate(
             [jnp.zeros((t.shape[0], 1, 128), t.dtype), t[:, :-1]], axis=1)
 
     def nextgk(t):       # X[gk+1], zero beyond the last group pair
+        if t.shape[1] == 1:
+            return jnp.zeros_like(t)
         return jnp.concatenate(
             [t[:, 1:], jnp.zeros((t.shape[0], 1, 128), t.dtype)], axis=1)
 
@@ -377,6 +381,8 @@ def _reconcile_kernel(geo_hbm, num_ref, w_ref, slab, sem,
     lm0 = (lane % 16) == 0
 
     def prevg(t):
+        if t.shape[1] == 1:  # single z-group: Mosaic rejects empty slices
+            return jnp.zeros_like(t)
         return jnp.concatenate(
             [jnp.zeros((TY, 1, 128), t.dtype), t[:, :-1]], axis=1)
 
@@ -489,6 +495,8 @@ def _key_reconcile_kernel(key_hbm, k_ref, slab, bsem, hsem,
     lm0 = (lane % 32) == 0
 
     def prevg(t):
+        if t.shape[1] == 1:  # single z-group: Mosaic rejects empty slices
+            return jnp.zeros_like(t)
         return jnp.concatenate(
             [jnp.zeros((TY, 1, 128), t.dtype), t[:, :-1]], axis=1)
 

@@ -51,7 +51,8 @@ def test_unpack_roundtrip_is_bf16():
 
 
 @pytest.mark.parametrize("shape", [(24, 20, 160), (16, 17, 300),
-                                   (8, 12, 96), (6, 8, 40)])
+                                   (8, 12, 96), (6, 8, 40),
+                                   (6, 8, 32), (5, 6, 12)])
 def test_build_shadow_pallas_matches_xla(shape):
     """Slot-geo state with random mass in ALL components (as after many
     scatters) -> both shadow builders bit-equal. The (…, 40) shape has
@@ -81,7 +82,8 @@ def test_build_shadow_pallas_matches_xla(shape):
     assert np.array_equal(np.asarray(got), np.asarray(want))
 
 
-@pytest.mark.parametrize("shape", [(24, 20, 160), (6, 8, 40)])
+@pytest.mark.parametrize("shape", [(24, 20, 160), (6, 8, 40),
+                                   (5, 6, 12)])
 def test_reconcile_slot_pallas_matches_xla(shape):
     from segfusion_tpu.ops.pallas.shadow_build import reconcile_slot_pallas
     from segfusion_tpu.ops.rowvol import _reconcile_slot
@@ -96,7 +98,8 @@ def test_reconcile_slot_pallas_matches_xla(shape):
 
 @pytest.mark.parametrize("shape,max_ty", [((24, 20, 160), 448),
                                           ((16, 17, 300), 448),
-                                          ((6, 8, 40), 4)])
+                                          ((6, 8, 40), 4),
+                                          ((6, 8, 32), 448)])
 def test_reconcile_key_pallas_matches_xla(shape, max_ty):
     """Bit-equal to the XLA key reconcile on fully random i32 slot
     states; max_ty=4 forces NJ > 1 to cover the halo-DMA branch."""
