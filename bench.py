@@ -178,6 +178,17 @@ def _headline_setup(h=256, w=256):
     return cfg, pipe, params_stats, seg_params, volume, frames
 
 
+def _free_buffers(tree):
+    """Eagerly release a pytree's device buffers (donation through the
+    axon relay is often reported 'not usable', so dead state must be
+    dropped by hand between phases to stay inside the 16 GB chip)."""
+    import jax
+
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if isinstance(leaf, jax.Array) and not leaf.is_deleted():
+            leaf.delete()
+
+
 def _stream_rows(pipe, params_stats, volume, frames, seg_params,
                  chunk_frames=32, n_chunks=2):
     if _TINY:
@@ -216,6 +227,11 @@ def _stream_rows(pipe, params_stats, volume, frames, seg_params,
                                      seg_params)
     volume = pipe._exit_rows(layout, pipe._drop_carry(stream))
     float(sum_w(volume))
+    # geo/key were donated into the exit; the shadow carry (1.4 GB at
+    # 448^3) is NOT -- free it before enter() builds a fresh stream, or
+    # the warmup and timing streams coexist (OOM margin on a 16 GB chip,
+    # especially at frame_block > 1 where block intermediates are larger)
+    _free_buffers(stream)
     note("bench: warmup done, timing...")
 
     stream = enter(volume)
@@ -509,6 +525,13 @@ def main():
             print(json.dumps(run_mode(mode)), flush=True)
         except Exception as e:   # a secondary mode must not sink the run
             note(f"bench: mode {mode} failed: {e!r}")
+        finally:
+            # drop the mode's executables (and any constants they pin)
+            # before the next mode allocates its own 448^3 state -- all
+            # modes share one process and donation through the relay is
+            # unreliable (see _free_buffers)
+            import jax
+            jax.clear_caches()
     print(json.dumps(run_mode("headline")), flush=True)
 
 

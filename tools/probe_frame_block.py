@@ -46,10 +46,17 @@ def sweep_speed(ks):
         params, stats = pipe.prepare_params(params, stats)
         volume = init_scene_volume((448,) * 3, origin, 4.48 / 448,
                                    cfg.DATA.init_value)
-        fps, _ = B._stream_rows(pipe, (params, stats), volume, frames,
-                                None, chunk_frames=64, n_chunks=2)
+        fps, vol_out = B._stream_rows(pipe, (params, stats), volume,
+                                      frames, None, chunk_frames=64,
+                                      n_chunks=2)
         print(f"SPEED 128^2  k={k:2d}  {fps:7.2f} fps "
               f"({1000.0 / fps:6.2f} ms/frame)", flush=True)
+        # drop the whole iteration's device state + executables before
+        # the next k compiles its own programs (the relay chip has no
+        # donation slack; dead constants in cached executables add up)
+        B._free_buffers((vol_out, params, stats))
+        del pipe, vol_out, params, stats
+        jax.clear_caches()
 
 
 def sweep_headline(ks):
@@ -63,10 +70,13 @@ def sweep_headline(ks):
         cfg, pipe, params_stats, seg_params, volume, frames = \
             B._headline_setup()
         params_stats = pipe.prepare_params(*params_stats)
-        fps, _ = B._stream_rows(pipe, params_stats, volume, frames,
-                                seg_params)
+        fps, vol_out = B._stream_rows(pipe, params_stats, volume, frames,
+                                      seg_params)
         print(f"HEADLINE 256^2  k={k:2d}  {fps:7.2f} fps "
               f"({1000.0 / fps:6.2f} ms/frame)", flush=True)
+        B._free_buffers((vol_out, params_stats, seg_params))
+        del pipe, vol_out, params_stats, seg_params
+        jax.clear_caches()
 
 
 def main():
