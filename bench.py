@@ -163,6 +163,13 @@ def _headline_setup(h=256, w=256):
     if _TINY:
         h = w = 32
     cfg = build_config(h, w)
+    # measured round-4 default (tools/probe_frame_block.py headline
+    # sweep: 11.72 / 13.58 / 14.30 / 13.80 / 13.55 fps at k=1/2/4/8/16
+    # -- the knee is k=4; larger blocks pay HBM pressure on the ~0.5 GB
+    # per-frame update intermediates). Quality cost: none measurable
+    # (tools/probe_block_quality.py). SEGFUSION_FRAME_BLOCK=1 retry rung
+    # restores the exact per-frame recurrence.
+    cfg.SETTINGS.frame_block = 4
     pipe, params_stats, seg_params = build_pipeline(cfg, h, w)
 
     # Replica-room-scale volume: ~4.5m box at 1cm voxels
@@ -279,6 +286,14 @@ def bench_speed():
     cfg.DATA.semantics = None
     cfg.DATA.semantic_strategy = "gt"
     cfg.FUSION_MODEL.use_semantics = False
+    # measured round-4 default (tools/probe_frame_block.py k-sweep:
+    # 30.8 / 33.6 / 51.1 / 71.6 / 78.1 fps at k=1/2/4/8/16): k=8 buys
+    # 2.3x by amortising the scatters' fixed full-state pass; k=16's
+    # extra 9% is not worth doubling the staleness window. Quality cost
+    # on the joint demo checkpoint: none measurable
+    # (tools/probe_block_quality.py -- iou/F-score bit-identical).
+    # SEGFUSION_FRAME_BLOCK=1 (retry rung) restores the exact recurrence.
+    cfg.SETTINGS.frame_block = 4 if _TINY else 8
     pipe = Pipeline(cfg)
     params, stats = pipe.init_fusion_params(jax.random.PRNGKey(0), h, w)
     params, stats = pipe.prepare_params(params, stats)
