@@ -2,9 +2,12 @@
 """Benchmark: online joint depth-fusion + semantics throughput.
 
 The default run measures EVERY recorded mode and prints one JSON line
-per mode -- {"metric", "value", "unit", "vs_baseline"} -- with the
-driver's headline mode LAST (parsers that read the final stdout line get
-the headline; the full set is captured in the artifact tail).
+per mode -- {"metric", "value", "unit", "vs_baseline"}. The headline
+mode runs FIRST and its line is re-emitted after each secondary mode, so
+the FINAL stdout line is always the headline (parsers that read the last
+line get it even if the run is killed mid-mode); the full set rides in
+the artifact tail. SEGFUSION_BENCH_BUDGET (seconds, default 960) bounds
+the wall clock: secondaries that would not fit are skipped.
 
 Modes:
   headline  flagship per-frame pipeline step -- extraction (9-point
@@ -533,21 +536,43 @@ def main():
     if args.mode != "all":
         print(json.dumps(run_mode(args.mode)))
         return
-    # all recorded modes, one JSON line each, HEADLINE LAST (the driver's
-    # single-line parse reads the final line; the rest ride in the tail)
-    for mode in ("speed", "multi512", "train"):
+    # All recorded modes, one JSON line each. The HEADLINE runs FIRST
+    # (round 4's driver window expired mid-run with headline scheduled
+    # last -- the flagship number was never recorded, BENCH_r04.json
+    # rc=124) and its line is RE-EMITTED after every secondary mode, so
+    # the final stdout line is the headline no matter where a timeout
+    # lands. A wall-clock budget (SEGFUSION_BENCH_BUDGET seconds) skips
+    # secondaries that would not fit: each remaining mode is estimated
+    # at the longest mode seen so far.
+    budget = float(os.environ.get("SEGFUSION_BENCH_BUDGET", "960"))
+    t0 = time.monotonic()
+    headline_line = None
+    try:
+        headline_line = json.dumps(run_mode("headline"))
+        print(headline_line, flush=True)
+    except Exception as e:
+        note(f"bench: headline mode failed: {e!r}")
+    durations = [time.monotonic() - t0]
+    for mode in ("speed", "train", "multi512"):
+        import jax
+        # drop the previous mode's executables (and any constants they
+        # pin) before the next mode allocates its own 448^3 state -- all
+        # modes share one process and donation through the relay is
+        # unreliable (see _free_buffers)
+        jax.clear_caches()
+        left = budget - (time.monotonic() - t0)
+        if left < max(durations):
+            note(f"bench: {left:.0f}s left < est {max(durations):.0f}s; "
+                 f"skipping {mode}")
+            continue
+        tm = time.monotonic()
         try:
             print(json.dumps(run_mode(mode)), flush=True)
         except Exception as e:   # a secondary mode must not sink the run
             note(f"bench: mode {mode} failed: {e!r}")
-        finally:
-            # drop the mode's executables (and any constants they pin)
-            # before the next mode allocates its own 448^3 state -- all
-            # modes share one process and donation through the relay is
-            # unreliable (see _free_buffers)
-            import jax
-            jax.clear_caches()
-    print(json.dumps(run_mode("headline")), flush=True)
+        durations.append(time.monotonic() - tm)
+        if headline_line is not None:
+            print(headline_line, flush=True)
 
 
 if __name__ == "__main__":

@@ -203,6 +203,20 @@ class Pipeline:
         self.frame_block = max(1, int(
             _fb if _fb else config.SETTINGS.get("frame_block", 1)))
 
+        # geo accumulator dtype for the row path (SETTINGS.geo_dtype:
+        # "float32" exact | "bfloat16"). bf16 halves the geo state bytes
+        # and with them the scatter-add's fixed full-state pass -- the
+        # floor-setter of every mode (PERFORMANCE.md scatter cost model)
+        # -- at the price of RTNE rounding per accumulation; the
+        # reference itself stores float16 volumes
+        # (modules/integrator.py:79-88). Canonical SceneVolume stays f32
+        # either way (exit reconcile upcasts). Env SEGFUSION_GEO_DTYPE
+        # overrides for no-edit A/B runs.
+        _gd = os.environ.get("SEGFUSION_GEO_DTYPE") \
+            or config.SETTINGS.get("geo_dtype", "float32")
+        self.geo_dtype = jnp.bfloat16 if _gd in ("bfloat16", "bf16") \
+            else jnp.float32
+
         self.fusion_net = build_fusion_net(config.FUSION_MODEL)
         # segmenter: optional object with .apply_fn(params, image, depth)
         # -> (h, w, C) logits (+ optional .apply_fn_batched with a
@@ -270,6 +284,7 @@ class Pipeline:
                 use_semantics=self.use_semantics,
                 n_points=self.n_points,
                 output_scale=float(cfg.output_scale),
+                dropout_rate=float(cfg.get("dropout", 0.2)),
                 dtype=self.fused_dtype, conv3x3=self.fused_conv3x3)
             return est, new_stats
         variables = {"params": params, "batch_stats": batch_stats}
@@ -461,7 +476,8 @@ class Pipeline:
     def _rows_from_volume(self, volume: SceneVolume):
         layout = rowvol.RowLayout.for_shape(tuple(volume.num.shape))
         geo, key = rowvol.rows_from_volume(volume.num, volume.weights,
-                                           volume.semkey, layout)
+                                           volume.semkey, layout,
+                                           geo_dtype=self.geo_dtype)
         rv = rowvol.RowVolume(geo=geo, key=key, origin=volume.origin,
                               resolution=volume.resolution,
                               init_value=volume.init_value)
@@ -481,7 +497,8 @@ class Pipeline:
     # and materialise only when the database is read.
     def _enter_rows_impl(self, layout, volume: SceneVolume):
         geo, key = rowvol.rows_from_volume(volume.num, volume.weights,
-                                           volume.semkey, layout)
+                                           volume.semkey, layout,
+                                           geo_dtype=self.geo_dtype)
         return rowvol.RowVolume(geo=geo, key=key, origin=volume.origin,
                                 resolution=volume.resolution,
                                 init_value=volume.init_value)
@@ -1213,7 +1230,12 @@ class Pipeline:
 
     def fuse(self, batch, database, params, batch_stats, seg_params=None):
         """Online inference on one frame; updates the database in place
-        (reference Pipeline.fuse, modules/pipeline.py:173-248)."""
+        (reference Pipeline.fuse, modules/pipeline.py:173-248).
+
+        Parity API: each call pays the full canonical<->slot conversion
+        (~the price of several fused frames at 448^3). For streams of
+        frames use :meth:`fuse_many`, which carries the slot/row state
+        across calls per scene and converts once per scene."""
         scene_id = self._scene_of(batch)
         frame = self._frame_from_batch(batch, self.config.DATA.input)
         volume = database.volumes[scene_id]

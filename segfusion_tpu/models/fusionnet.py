@@ -308,6 +308,7 @@ def build_fusion_net(config: Any) -> nn.Module:
     kwargs = dict(n_points=config.n_points,
                   use_semantics=bool(config.use_semantics),
                   output_scale=float(config.output_scale),
+                  dropout=float(config.get("dropout", 0.2)),
                   dtype=dtype)
     name = config.name
     if name == "v1":

@@ -587,6 +587,12 @@ def apply_v3_train(params, batch_stats, inputs, rng, *,
     per-module rng folding; tests compare with dropout_rate=0)."""
     meta = V3Meta(gf=growth_factor - 1, use_semantics=use_semantics,
                   n_points=n_points, output_scale=output_scale)
+    if rng is None and dropout_rate > 0:
+        # match the Flax path, which raises on a missing dropout rng in
+        # train mode -- a silent PRNGKey(0) fallback would reuse one
+        # dropout mask every step
+        raise ValueError("apply_v3_train needs an rng when dropout_rate "
+                         "> 0 (pass rng or set dropout_rate=0)")
     ctx = _TrainCtx(rng if rng is not None else jax.random.PRNGKey(0),
                     dropout_rate)
     gf = meta.gf

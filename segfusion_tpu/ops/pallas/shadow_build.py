@@ -103,7 +103,13 @@ def _shadow_tile_compute(v_all, *, TY, G, GK):
     shifts become sublane-axis concats, the bf16 pack runs on all 128
     lanes (only lane group 0 is ever read), and the output tile is
     composed with lane-range selects + rolls and written with ONE
-    full-width store."""
+    full-width store.
+
+    A 16-bit (bf16) geo state is upcast here (exact), so the reconcile
+    arithmetic -- and its bit-equality with rowvol._reconcile_slot -- is
+    f32 for every geo dtype; only the DMA'd slab bytes shrink."""
+    v_all = v_all.astype(jnp.float32)
+
     def roll(t, s):
         """Value from lane (l - s) % 128 -- jnp.roll semantics, verified
         identical between Mosaic's compiled rotate and interpret mode
@@ -224,7 +230,7 @@ def build_shadow_pallas(geo: jnp.ndarray, layout, interpret: bool = False,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, TY * GK, 128), lambda x, j: (x, j, 0)),
         out_shape=jax.ShapeDtypeStruct((X, Y * GK, 128), jnp.uint32),
-        scratch_shapes=[pltpu.VMEM((2, (TY + 2) * G, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, (TY + 2) * G, 128), geo.dtype),
                         pltpu.SemaphoreType.DMA((2,))],
         compiler_params=_compiler_params(),
         interpret=interpret,
@@ -327,7 +333,7 @@ def build_shadow_dirty_pallas(geo: jnp.ndarray, prev_shadow: jnp.ndarray,
                       pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
-                pltpu.VMEM((2, (TY + 2) * G, 128), jnp.float32),
+                pltpu.VMEM((2, (TY + 2) * G, 128), geo.dtype),
                 pltpu.VMEM((2, TY * GK, 128), jnp.uint32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
@@ -373,7 +379,7 @@ def _reconcile_kernel(geo_hbm, num_ref, w_ref, slab, sem,
         dma(i + 1, (i + 1) % 2).start()
 
     dma(i, i % 2).wait()
-    v_all = slab[i % 2].reshape(TY + 2, G, 128)
+    v_all = slab[i % 2].reshape(TY + 2, G, 128).astype(jnp.float32)
     v = v_all[1:TY + 1]
     vy = v_all[0:TY]
 
@@ -417,7 +423,7 @@ def reconcile_slot_pallas(geo: jnp.ndarray, layout,
         out_specs=[spec, spec],
         out_shape=[jax.ShapeDtypeStruct((X, Y, Zp), jnp.float32),
                    jax.ShapeDtypeStruct((X, Y, Zp), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((2, (TY + 2) * G, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, (TY + 2) * G, 128), geo.dtype),
                         pltpu.SemaphoreType.DMA((2,))],
         compiler_params=_compiler_params(),
         interpret=interpret,

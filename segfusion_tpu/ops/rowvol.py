@@ -2,10 +2,13 @@
 hot path.
 
 Motivation (measured on TPU v5e through this environment's relay --
-tools/probe_row_ops.py, probe_slot_scatter.py, probe_hbm_bw.py): XLA
-random access costs ~8-15 ns per scattered/gathered ELEMENT, lane-aligned
-128-lane ROWS move for ~13-28 ns per ROW, and dense HBM bandwidth tops
-out near ~213 GB/s. The reference integration hot path
+tools/probe_row_ops.py, probe_slot_scatter.py, probe_shadow_v3.py): XLA
+random access costs ~8-15 ns per scattered/gathered ELEMENT, while
+lane-aligned 128-lane ROWS move for ~13-28 ns per ROW. (Dense HBM
+bandwidth itself is ~990 GiB/s -- near nameplate; the row ops are bound
+by per-row issue cost and the scatters by a fixed full-state pass at
+~170 GB/s, NOT by dense bandwidth. Round-2's "213 GB/s" figure was a
+mismeasurement.) The reference integration hot path
 (modules/integrator.py:55-124, modules/extractor.py:640-681) needs 8
 gathers + 16 scatter-adds + 8 scatter-maxes per (ray, sample) in scalar
 form. The slot layout collapses each side to ONE 128-lane row op per
@@ -14,7 +17,8 @@ form. The slot layout collapses each side to ONE 128-lane row op per
 SLOT LAYOUT. For a sample's trilinear corner pair bases y_lo, z_lo, all
 four (y, z) corners live in one SLOT addressed by (x, y_lo, z_lo):
 
-* geo state (scatter-add target, f32): rows (x, 1 + y_lo, z_lo // 16),
+* geo state (scatter-add target, f32 or bf16 -- see rows_from_volume's
+  geo_dtype): rows (x, 1 + y_lo, z_lo // 16),
   x-stride Y+2 (one zero pad row at y=-1 and y=Y for the shadow kernel's
   halo), 128 lanes = 8 components x 16 z-slots, lane = 16*c + z_lo % 16,
   components [nA0 nA1 nB0 nB1 wA0 wA1 wB0 wB1] (A = y_lo, B = y_lo + 1,
@@ -201,7 +205,7 @@ class RowVolume:
     boundaries). ``init_value`` is STATIC metadata like SceneVolume's --
     a traced leaf here would leak a tracer into SceneVolume's treedef
     when a jitted exit conversion rebuilds the canonical state."""
-    geo: jnp.ndarray      # (geo_rows, 128) f32 slot rows (SLOT LAYOUT)
+    geo: jnp.ndarray      # (geo_rows, 128) f32/bf16 slot rows (SLOT LAYOUT)
     key: jnp.ndarray      # (key_rows, 128) i32 slot rows (KEY SLOT LAYOUT)
     origin: jnp.ndarray
     resolution: jnp.ndarray
@@ -213,10 +217,21 @@ class RowVolume:
 
 # -- canonical <-> slots ------------------------------------------------------
 
-def rows_from_volume(num, w, key, layout: RowLayout):
+def rows_from_volume(num, w, key, layout: RowLayout,
+                     geo_dtype=jnp.float32):
     """Slot state from canonical (X, Y, Z) arrays. All mass goes to each
     voxel's OWN slot's component 0 (corner (y_lo, z_lo) == the voxel);
-    the other components start at the combiner's neutral element."""
+    the other components start at the combiner's neutral element.
+
+    ``geo_dtype``: accumulator dtype for the geo slot state. float32 is
+    exact; bfloat16 HALVES the state bytes -- and with them the scatter's
+    fixed full-state pass, the floor-setter of every fusion mode (the
+    measured law is T ~= state_bytes / ~170 GB/s + rows x ~10 ns) -- at
+    the price of RTNE rounding on every accumulation. The reference
+    itself keeps its volumes in float16 (modules/integrator.py:79-88),
+    and the values the nets SEE are bf16 either way (the gather shadow
+    packs bf16); quality cost quantified in tools/probe_block_quality.py
+    (PERFORMANCE.md)."""
     L = layout
     zp = 16 * L.G
 
@@ -224,9 +239,10 @@ def rows_from_volume(num, w, key, layout: RowLayout):
         ap = jnp.pad(a.astype(dtype), ((0, 0), (0, 0), (0, zp - L.Z)))
         return ap.reshape(L.X, L.Y, L.G, 16)
 
-    geo = jnp.zeros((L.X, L.Y + 2, L.G, 128), jnp.float32)
-    geo = geo.at[:, 1:L.Y + 1, :, 0:16].set(slots0(num, jnp.float32))
-    geo = geo.at[:, 1:L.Y + 1, :, 64:80].set(slots0(w, jnp.float32))
+    geo_dtype = jnp.dtype(geo_dtype)
+    geo = jnp.zeros((L.X, L.Y + 2, L.G, 128), geo_dtype)
+    geo = geo.at[:, 1:L.Y + 1, :, 0:16].set(slots0(num, geo_dtype))
+    geo = geo.at[:, 1:L.Y + 1, :, 64:80].set(slots0(w, geo_dtype))
     geo = geo.reshape(L.geo_rows, 128)
 
     kp = jnp.pad(key.astype(jnp.int32),
@@ -241,8 +257,10 @@ def _reconcile_slot(geo, layout: RowLayout):
     """Sum the 4 neighbour-slot components back to canonical (num, w):
     voxel (y, z) collects comp 0 of slot (y, z), comp 1 of (y, z-1),
     comp 2 of (y-1, z), comp 3 of (y-1, z-1) -- the y-1 indexing falls
-    out of the pad rows for free."""
+    out of the pad rows for free. A 16-bit state is upcast first (exact),
+    so the reconcile arithmetic is f32 for every geo_dtype."""
     L = layout
+    geo = geo.astype(jnp.float32)
     s = geo.reshape(L.X, L.Y + 2, L.G, 8, 16)
     Zs = 16 * L.G
 
@@ -350,6 +368,16 @@ def pick_ty(Y: int, max_ty: Optional[int] = None) -> int:
     for ty in range(min(max_ty, Y), 0, -1):
         if Y % ty == 0 and ty % 8 == 0:
             return ty
+    # no 8-divisible divisor: the only legal tile is the whole extent.
+    # Fine at small Y; at large Y a whole-Y tile's compute temps blow the
+    # Mosaic scoped-VMEM cap, so fail loudly instead of at lowering time
+    # (the Database pads volumes to a multiple of 8, so real volumes
+    # never land here).
+    if Y > 4 * max_ty:
+        raise ValueError(
+            f"volume Y extent {Y} has no divisor that is a multiple of 8 "
+            f"and <= {max_ty}; pad Y to a multiple of 8 (Database volumes "
+            "are padded automatically)")
     return Y
 
 
@@ -779,7 +807,9 @@ def _geo_scatter(geo, b: _UpdateBlock, t_merge: int = 0):
     if t_merge > 1:
         rows, upd = _merge_runs(rows, upd, t_merge, jnp.add,
                                 jnp.float32(0))
-    return geo.at[rows].add(upd)
+    # 16-bit state: the update weight math stays f32; only the final
+    # (M, 128) rows round to the accumulator dtype (RTNE) at the scatter
+    return geo.at[rows].add(upd.astype(geo.dtype))
 
 
 def _key_scatter(key, b: _UpdateBlock, t_merge: int = 0):

@@ -24,10 +24,14 @@ def test_bench_all_modes_tiny():
     assert out.returncode == 0, out.stderr[-3000:]
     lines = [l for l in out.stdout.strip().splitlines() if l.strip()]
     recs = [json.loads(l) for l in lines]
-    assert len(recs) == 4, out.stdout
     for r in recs:
         assert set(r) == {"metric", "value", "unit", "vs_baseline"}
         assert r["value"] > 0
+    # all four modes must have been measured (the headline line is
+    # re-emitted after each secondary so a mid-run kill still leaves the
+    # headline as the final line -- hence > 4 lines total)
+    metrics = {r["metric"] for r in recs}
+    assert len(metrics) == 4, out.stdout
     # the driver's single-line parse reads the LAST stdout line -- it
     # must be the headline mode
     assert "joint fusion+semantics" in recs[-1]["metric"]

@@ -32,9 +32,17 @@ SETTINGS = [
     ("sem_every=4", {"SEGFUSION_SEM_EVERY": "4"}),
     ("frame_block=4 + sem_every=4", {"SEGFUSION_FRAME_BLOCK": "4",
                                      "SEGFUSION_SEM_EVERY": "4"}),
+    ("geo bf16", {"SEGFUSION_GEO_DTYPE": "bfloat16"}),
+    ("geo bf16 + frame_block=4 + sem_every=4",
+     {"SEGFUSION_GEO_DTYPE": "bfloat16", "SEGFUSION_FRAME_BLOCK": "4",
+      "SEGFUSION_SEM_EVERY": "4"}),
+    ("geo bf16 + frame_block=8 + sem_every=4",
+     {"SEGFUSION_GEO_DTYPE": "bfloat16", "SEGFUSION_FRAME_BLOCK": "8",
+      "SEGFUSION_SEM_EVERY": "4"}),
 ]
 
-_KNOBS = ("SEGFUSION_FRAME_BLOCK", "SEGFUSION_SEM_EVERY")
+_KNOBS = ("SEGFUSION_FRAME_BLOCK", "SEGFUSION_SEM_EVERY",
+          "SEGFUSION_GEO_DTYPE")
 
 
 def main():
@@ -44,6 +52,11 @@ def main():
     ap.add_argument("--ckpt", default=None,
                     help="fusion checkpoint (default: newest best.ckpt "
                          "under the config's experiment path)")
+    ap.add_argument("--n_frames", type=int, default=None,
+                    help="override the TEST trajectory length (e.g. 300: "
+                         "a long orbit whose consecutive frames heavily "
+                         "overlap -- the frame-block staleness stress "
+                         "case; the checkpoint stays the 60-frame one)")
     args = ap.parse_args()
 
     from segfusion_tpu.config import load_config_from_yaml
@@ -68,6 +81,8 @@ def main():
         # so thread it through SETTINGS here for the CLI harness.
         cfg_t = copy.deepcopy(cfg)
         cfg_t.TESTING.fusion_model_path = ckpt
+        if args.n_frames:
+            cfg_t.DATA.n_frames = args.n_frames
         if "SEGFUSION_SEM_EVERY" in env:
             cfg_t.SETTINGS.sem_integrate_every = int(
                 env["SEGFUSION_SEM_EVERY"])
