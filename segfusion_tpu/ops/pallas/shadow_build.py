@@ -20,7 +20,7 @@ Structure (see rowvol.py SLOT LAYOUT):
   and the components are narrow shifts/slices of it.
 
 Grid (x, y-tile) with an explicitly double-buffered halo DMA: tile
-(x, j) loads geo rows [(x*(Y+2) + j*TY) * G, +(TY+2)*G) -- its y-halo on
+(x, j) loads geo rows [(x*SY + j*TY) * G, +(TY+2)*G) -- its y-halo on
 both sides -- into slab[i%2] while tile i-1 computes (Pallas BlockSpecs
 cannot express overlapping windows; the manual copy reads each state row
 once instead of the 2-3x of shifted-view inputs).
@@ -187,7 +187,7 @@ def _shadow_tile_compute(v_all, *, TY, G, GK):
     return out.reshape(TY * GK, 128)
 
 
-def _kernel(geo_hbm, out_ref, slab, sem, *, TY, Y, G, GK, NJ, N, interp):
+def _kernel(geo_hbm, out_ref, slab, sem, *, TY, SY, G, GK, NJ, N, interp):
     """Full-rebuild kernel: grid (x, y-tile), double-buffered halo DMA,
     blocked output spec (see _shadow_tile_compute for the math)."""
     x = pl.program_id(0)
@@ -198,7 +198,7 @@ def _kernel(geo_hbm, out_ref, slab, sem, *, TY, Y, G, GK, NJ, N, interp):
     def dma(idx, s):
         xx = idx // NJ
         jj = idx - xx * NJ
-        start = (xx * (Y + 2) + jj * TY) * G
+        start = (xx * SY + jj * TY) * G
         return pltpu.make_async_copy(
             geo_hbm.at[pl.ds(start, SLAB), :], slab.at[s], sem.at[s])
 
@@ -224,8 +224,8 @@ def build_shadow_pallas(geo: jnp.ndarray, layout, interpret: bool = False,
     TY = _pick_ty(Y, max_ty)
     NJ = Y // TY
     out = pl.pallas_call(
-        functools.partial(_kernel, TY=TY, Y=Y, G=G, GK=GK, NJ=NJ,
-                          N=X * NJ, interp=interpret),
+        functools.partial(_kernel, TY=TY, SY=L.SY, G=G, GK=GK,
+                          NJ=NJ, N=X * NJ, interp=interpret),
         grid=(X, NJ),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, TY * GK, 128), lambda x, j: (x, j, 0)),
@@ -239,7 +239,7 @@ def build_shadow_pallas(geo: jnp.ndarray, layout, interpret: bool = False,
 
 
 def _dirty_kernel(dirty_ref, geo_hbm, prev_hbm, out_hbm, slab, outbuf,
-                  insem, outsem, cnt, *, TY, Y, G, GK, NJ, N):
+                  insem, outsem, cnt, *, TY, SY, G, GK, NJ, N):
     """Dirty-tile shadow rebuild: like _kernel, but a tile whose
     ``dirty`` flag is 0 is SKIPPED entirely (no DMA, no compute, no
     store) -- ``prev_hbm`` is aliased into ``out_hbm``, so skipped tiles
@@ -258,7 +258,7 @@ def _dirty_kernel(dirty_ref, geo_hbm, prev_hbm, out_hbm, slab, outbuf,
     def in_dma(idx, s):
         xx = idx // NJ
         jj = idx - xx * NJ
-        start = (xx * (Y + 2) + jj * TY) * G
+        start = (xx * SY + jj * TY) * G
         return pltpu.make_async_copy(
             geo_hbm.at[pl.ds(start, SLAB), :], slab.at[s], insem.at[s])
 
@@ -324,8 +324,8 @@ def build_shadow_dirty_pallas(geo: jnp.ndarray, prev_shadow: jnp.ndarray,
     TY = _pick_ty(Y, max_ty)
     NJ = Y // TY
     out = pl.pallas_call(
-        functools.partial(_dirty_kernel, TY=TY, Y=Y, G=G, GK=GK, NJ=NJ,
-                          N=X * NJ),
+        functools.partial(_dirty_kernel, TY=TY, SY=L.SY, G=G, GK=GK,
+                          NJ=NJ, N=X * NJ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(X, NJ),
@@ -348,7 +348,7 @@ def build_shadow_dirty_pallas(geo: jnp.ndarray, prev_shadow: jnp.ndarray,
 
 
 def _reconcile_kernel(geo_hbm, num_ref, w_ref, slab, sem,
-                      *, TY, Y, G, NJ, N):
+                      *, TY, SY, G, NJ, N):
     """Slot state -> canonical (num, w) planes. Same reconcile math as
     the shadow kernel, minus the pack/shadow assembly; outputs are
     written as per-group 16-lane stores so no narrow-minor-dim tensor is
@@ -366,7 +366,7 @@ def _reconcile_kernel(geo_hbm, num_ref, w_ref, slab, sem,
     def dma(idx, s):
         xx = idx // NJ
         jj = idx - xx * NJ
-        start = (xx * (Y + 2) + jj * TY) * G
+        start = (xx * SY + jj * TY) * G
         return pltpu.make_async_copy(
             geo_hbm.at[pl.ds(start, SLAB), :], slab.at[s], sem.at[s])
 
@@ -416,8 +416,8 @@ def reconcile_slot_pallas(geo: jnp.ndarray, layout,
     Zp = 16 * G
     spec = pl.BlockSpec((1, TY, Zp), lambda x, j: (x, j, 0))
     num, w = pl.pallas_call(
-        functools.partial(_reconcile_kernel, TY=TY, Y=Y, G=G, NJ=NJ,
-                          N=X * NJ),
+        functools.partial(_reconcile_kernel, TY=TY, SY=L.SY, G=G,
+                          NJ=NJ, N=X * NJ),
         grid=(X, NJ),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[spec, spec],

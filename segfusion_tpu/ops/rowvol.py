@@ -19,8 +19,9 @@ four (y, z) corners live in one SLOT addressed by (x, y_lo, z_lo):
 
 * geo state (scatter-add target, f32 or bf16 -- see rows_from_volume's
   geo_dtype): rows (x, 1 + y_lo, z_lo // 16),
-  x-stride Y+2 (one zero pad row at y=-1 and y=Y for the shadow kernel's
-  halo), 128 lanes = 8 components x 16 z-slots, lane = 16*c + z_lo % 16,
+  x-stride SY >= Y+2 (one zero pad row at y=-1 and y=Y for the shadow
+  kernel's halo, plus zero DMA-alignment rows -- RowLayout docstring),
+  128 lanes = 8 components x 16 z-slots, lane = 16*c + z_lo % 16,
   components [nA0 nA1 nB0 nB1 wA0 wA1 wB0 wB1] (A = y_lo, B = y_lo + 1,
   0/1 = z_lo + 0/1, n = weighted tsdf mass, w = weight mass).
 * key state (scatter-max target, i32): rows (x, y_lo, z_lo // 32),
@@ -155,22 +156,39 @@ def _nchunks(n: int, target: int) -> int:
 
 
 class RowLayout(NamedTuple):
-    """Static layout constants derived from the canonical volume shape."""
+    """Static layout constants derived from the canonical volume shape.
+
+    ALIGNMENT: the shadow/reconcile kernels DMA geo slabs starting at
+    row (x * SY + j * TY) * G, and Mosaic must prove those starts
+    divisible by the HBM row tiling -- 8 rows for f32, 16 for 16-bit
+    dtypes (bf16 packs (2, 1)). Hence G is ceil(Z/16) rounded up to EVEN
+    (== 2 * GK; with pick_ty's TY % 8 == 0 this makes TY * G % 16 == 0)
+    and SY is Y + 2 padded minimally so SY * G % 16 == 0. The pad rows
+    and pad z-groups hold zeros, are never scatter targets (corner rows
+    index physical y in [-1, Y] -> indices [0, Y + 1] < SY), and the
+    last tile's slab read stops at index Y + 2 <= SY."""
     X: int
     Y: int
     Z: int
-    G: int       # geo z-slot groups: ceil(Z/16) (16 slots per geo row)
+    G: int       # geo z-slot groups: ceil(Z/16) rounded up to even
     GK: int      # key/shadow z-slot groups: ceil(Z/32) (32 slots per row)
+    SY: int      # geo y-stride: Y + 2 halo rows + DMA-alignment padding
 
     @staticmethod
     def for_shape(shape: Tuple[int, int, int]) -> "RowLayout":
         X, Y, Z = int(shape[0]), int(shape[1]), int(shape[2])
-        return RowLayout(X=X, Y=Y, Z=Z, G=_cdiv(Z, 16), GK=_cdiv(Z, 32))
+        GK = _cdiv(Z, 32)
+        G = 2 * GK
+        SY = Y + 2
+        while (SY * G) % 16:
+            SY += 1
+        return RowLayout(X=X, Y=Y, Z=Z, G=G, GK=GK, SY=SY)
 
     @property
     def geo_rows(self) -> int:
-        """Geo slot rows, x-stride Y+2 (pad rows at y=-1 and y=Y)."""
-        return self.X * (self.Y + 2) * self.G
+        """Geo slot rows, x-stride SY (pad rows at y=-1 and y=Y, plus
+        zero alignment rows above -- see the class docstring)."""
+        return self.X * self.SY * self.G
 
     @property
     def key_rows(self) -> int:
@@ -240,7 +258,7 @@ def rows_from_volume(num, w, key, layout: RowLayout,
         return ap.reshape(L.X, L.Y, L.G, 16)
 
     geo_dtype = jnp.dtype(geo_dtype)
-    geo = jnp.zeros((L.X, L.Y + 2, L.G, 128), geo_dtype)
+    geo = jnp.zeros((L.X, L.SY, L.G, 128), geo_dtype)
     geo = geo.at[:, 1:L.Y + 1, :, 0:16].set(slots0(num, geo_dtype))
     geo = geo.at[:, 1:L.Y + 1, :, 64:80].set(slots0(w, geo_dtype))
     geo = geo.reshape(L.geo_rows, 128)
@@ -261,11 +279,11 @@ def _reconcile_slot(geo, layout: RowLayout):
     so the reconcile arithmetic is f32 for every geo_dtype."""
     L = layout
     geo = geo.astype(jnp.float32)
-    s = geo.reshape(L.X, L.Y + 2, L.G, 8, 16)
+    s = geo.reshape(L.X, L.SY, L.G, 8, 16)
     Zs = 16 * L.G
 
     def plane(c):
-        return s[:, :, :, c, :].reshape(L.X, L.Y + 2, Zs)
+        return s[:, :, :, c, :].reshape(L.X, L.SY, Zs)
 
     def zsh(a):          # comp covers z_lo+1 -> contribution from z-1
         return jnp.pad(a, ((0, 0), (0, 0), (1, 0)))[:, :, :Zs]
@@ -572,7 +590,7 @@ def corner_rows(points_v: jnp.ndarray, layout: RowLayout) -> CornerRows:
 
     xs = jnp.stack([jnp.clip(x0, 0, L.X - 1),
                     jnp.clip(x1, 0, L.X - 1)], axis=0)    # (2, n, p)
-    sg_rows = (xs * (L.Y + 2) + 1 + y_lo_c[None]) * L.G \
+    sg_rows = (xs * L.SY + 1 + y_lo_c[None]) * L.G \
         + (z_lo // 16)[None]
     k_rows = (xs * L.Y + y_lo_c[None]) * L.GK + (z_lo // 32)[None]
 

@@ -59,9 +59,9 @@ def _reachable_bf16_geo(L, rng):
     """Random slot mass restricted to scatter-reachable lanes (see
     tests/test_shadow_pallas.py), rounded to bf16."""
     geo = rng.randn(L.geo_rows, 128).astype(np.float32) * 0.3
-    g5 = geo.reshape(L.X, L.Y + 2, L.G, 8, 16)
+    g5 = geo.reshape(L.X, L.SY, L.G, 8, 16)
     g5[:, 0] = 0.0
-    g5[:, L.Y + 1] = 0.0
+    g5[:, L.Y + 1:] = 0.0        # pad row y = Y + align rows
     for c in (2, 3, 6, 7):
         g5[:, L.Y, :, c] = 0.0
     gz, sz = (L.Z - 1) // 16, (L.Z - 1) % 16

@@ -26,9 +26,9 @@ def _random_geo(rng, L):
     tests/test_shadow_pallas.py; the two builders may disagree in dead
     lanes otherwise)."""
     geo = rng.randn(L.geo_rows, 128).astype(np.float32) * 0.3
-    g5 = geo.reshape(L.X, L.Y + 2, L.G, 8, 16)
+    g5 = geo.reshape(L.X, L.SY, L.G, 8, 16)
     g5[:, 0] = 0.0                       # pad row y = -1
-    g5[:, L.Y + 1] = 0.0                 # pad row y = Y
+    g5[:, L.Y + 1:] = 0.0            # pad row y = Y + align rows
     for c in (2, 3, 6, 7):               # B comps of y_lo = Y-1
         g5[:, L.Y, :, c] = 0.0
     gz, sz = (L.Z - 1) // 16, (L.Z - 1) % 16
@@ -59,8 +59,8 @@ def test_mask_covers_integrated_rows(shape):
         assert mask[-1] == 0
         grid = mask[:-1].reshape(L.X, NJ)
         rows = np.asarray(cr.sg_rows).reshape(-1)
-        xs = rows // ((L.Y + 2) * L.G)
-        ypad = (rows % ((L.Y + 2) * L.G)) // L.G
+        xs = rows // (L.SY * L.G)
+        ypad = (rows % (L.SY * L.G)) // L.G
         yphys = ypad - 1
         for j in range(NJ):
             sel = (yphys >= j * TY - 1) & (yphys <= j * TY + TY)
@@ -80,7 +80,7 @@ def test_dirty_build_equals_full_xla(shape):
 
     # perturb rows inside a random tile subset; mark exactly those dirty
     dirty = (rng.rand(L.X, NJ) < 0.4).astype(np.int32)
-    g = np.asarray(geo0).reshape(L.X, L.Y + 2, L.G, 128).copy()
+    g = np.asarray(geo0).reshape(L.X, L.SY, L.G, 128).copy()
     for x in range(L.X):
         for j in range(NJ):
             if dirty[x, j]:

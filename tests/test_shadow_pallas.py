@@ -64,9 +64,9 @@ def test_build_shadow_pallas_matches_xla(shape):
     # component that points at an out-of-bounds voxel, and never touches
     # the pad rows -- random mass there would differ only in dead lanes
     # the two builders are free to disagree on
-    g5 = geo.reshape(L.X, L.Y + 2, L.G, 8, 16)
+    g5 = geo.reshape(L.X, L.SY, L.G, 8, 16)
     g5[:, 0] = 0.0                       # pad row y = -1
-    g5[:, L.Y + 1] = 0.0                 # pad row y = Y
+    g5[:, L.Y + 1:] = 0.0            # pad row y = Y + align rows
     for c in (2, 3, 6, 7):               # B comps of y_lo = Y-1
         g5[:, L.Y, :, c] = 0.0
     gz, sz = (L.Z - 1) // 16, (L.Z - 1) % 16
@@ -142,7 +142,7 @@ def test_reconcile_key_pallas_vmap_batches():
 def _reachable_geo(L, rng, batch=None):
     shape = (L.geo_rows, 128) if batch is None else (batch, L.geo_rows, 128)
     geo = rng.randn(*shape).astype(np.float32) * 0.3
-    g5 = geo.reshape(shape[:-2] + (L.X, L.Y + 2, L.G, 8, 16))
+    g5 = geo.reshape(shape[:-2] + (L.X, L.SY, L.G, 8, 16))
     g5[..., 0, :, :, :] = 0.0
     g5[..., L.Y + 1, :, :, :] = 0.0
     for c in (2, 3, 6, 7):

@@ -28,9 +28,9 @@ def _tpu_or_skip():
 
 def _reachable_geo(L, rng):
     geo = rng.randn(L.geo_rows, 128).astype(np.float32) * 0.3
-    g5 = geo.reshape(L.X, L.Y + 2, L.G, 8, 16)
+    g5 = geo.reshape(L.X, L.SY, L.G, 8, 16)
     g5[:, 0] = 0.0
-    g5[:, L.Y + 1] = 0.0
+    g5[:, L.Y + 1:] = 0.0        # pad row y = Y + align rows
     for c in (2, 3, 6, 7):
         g5[:, L.Y, :, c] = 0.0
     gz, sz = (L.Z - 1) // 16, (L.Z - 1) % 16
