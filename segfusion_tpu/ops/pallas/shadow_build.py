@@ -70,6 +70,18 @@ def _compiler_params():
         return None
 
 
+def _slab_rows(TY, G, dtype):
+    """Per-buffer geo-slab rows, padded up so each double-buffer slot
+    starts on a Mosaic dim-0 tile boundary: the slot offset s * rows must
+    be provably divisible by the HBM/VMEM row tiling (8 rows for 4-byte
+    dtypes, 16 for 16-bit dtypes packed (2, 1)); (TY + 2) * G itself is
+    only guaranteed 8-divisible. The DMA and the compute touch only the
+    live (TY + 2) * G rows; the pad rows are never written or read."""
+    mult = 16 if jnp.dtype(dtype).itemsize == 2 else 8
+    rows = (TY + 2) * G
+    return -(-rows // mult) * mult
+
+
 def _pack16(num, w):
     """(bf16(num) << 16) | bf16(w) -- geometry.pack16_numw in i32 ops.
 
@@ -198,9 +210,15 @@ def _kernel(geo_hbm, out_ref, slab, sem, *, TY, SY, G, GK, NJ, N, interp):
     def dma(idx, s):
         xx = idx // NJ
         jj = idx - xx * NJ
-        start = (xx * SY + jj * TY) * G
+        # literal per-term coefficients: Mosaic's divisibility prover
+        # must show start % the row tiling (16 for 16-bit dtypes); it
+        # factors xx * (SY * G) + jj * (TY * G) -- both coefficients are
+        # 16-divisible by RowLayout construction -- but not the
+        # distributed (xx * SY + jj * TY) * G form.
+        start = xx * (SY * G) + jj * (TY * G)
         return pltpu.make_async_copy(
-            geo_hbm.at[pl.ds(start, SLAB), :], slab.at[s], sem.at[s])
+            geo_hbm.at[pl.ds(start, SLAB), :],
+            slab.at[s, pl.ds(0, SLAB)], sem.at[s])
 
     @pl.when(i == 0)
     def _():
@@ -212,7 +230,8 @@ def _kernel(geo_hbm, out_ref, slab, sem, *, TY, SY, G, GK, NJ, N, interp):
 
     dma(i, i % 2).wait()
     out_ref[0] = _shadow_tile_compute(
-        slab[i % 2].reshape(TY + 2, G, 128), TY=TY, G=G, GK=GK)
+        slab[i % 2, pl.ds(0, SLAB)].reshape(TY + 2, G, 128),
+        TY=TY, G=G, GK=GK)
 
 
 def build_shadow_pallas(geo: jnp.ndarray, layout, interpret: bool = False,
@@ -230,7 +249,8 @@ def build_shadow_pallas(geo: jnp.ndarray, layout, interpret: bool = False,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, TY * GK, 128), lambda x, j: (x, j, 0)),
         out_shape=jax.ShapeDtypeStruct((X, Y * GK, 128), jnp.uint32),
-        scratch_shapes=[pltpu.VMEM((2, (TY + 2) * G, 128), geo.dtype),
+        scratch_shapes=[pltpu.VMEM((2, _slab_rows(TY, G, geo.dtype), 128),
+                                   geo.dtype),
                         pltpu.SemaphoreType.DMA((2,))],
         compiler_params=_compiler_params(),
         interpret=interpret,
@@ -258,9 +278,15 @@ def _dirty_kernel(dirty_ref, geo_hbm, prev_hbm, out_hbm, slab, outbuf,
     def in_dma(idx, s):
         xx = idx // NJ
         jj = idx - xx * NJ
-        start = (xx * SY + jj * TY) * G
+        # literal per-term coefficients: Mosaic's divisibility prover
+        # must show start % the row tiling (16 for 16-bit dtypes); it
+        # factors xx * (SY * G) + jj * (TY * G) -- both coefficients are
+        # 16-divisible by RowLayout construction -- but not the
+        # distributed (xx * SY + jj * TY) * G form.
+        start = xx * (SY * G) + jj * (TY * G)
         return pltpu.make_async_copy(
-            geo_hbm.at[pl.ds(start, SLAB), :], slab.at[s], insem.at[s])
+            geo_hbm.at[pl.ds(start, SLAB), :],
+            slab.at[s, pl.ds(0, SLAB)], insem.at[s])
 
     def out_dma(idx, s):
         xx = idx // NJ
@@ -286,7 +312,8 @@ def _dirty_kernel(dirty_ref, geo_hbm, prev_hbm, out_hbm, slab, outbuf,
     def _():
         in_dma(i, i % 2).wait()
         out = _shadow_tile_compute(
-            slab[i % 2].reshape(TY + 2, G, 128), TY=TY, G=G, GK=GK)
+            slab[i % 2, pl.ds(0, SLAB)].reshape(TY + 2, G, 128),
+            TY=TY, G=G, GK=GK)
         c = cnt[0]
         so = c % 2
 
@@ -333,7 +360,8 @@ def build_shadow_dirty_pallas(geo: jnp.ndarray, prev_shadow: jnp.ndarray,
                       pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
-                pltpu.VMEM((2, (TY + 2) * G, 128), geo.dtype),
+                pltpu.VMEM((2, _slab_rows(TY, G, geo.dtype), 128),
+                           geo.dtype),
                 pltpu.VMEM((2, TY * GK, 128), jnp.uint32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
@@ -366,9 +394,15 @@ def _reconcile_kernel(geo_hbm, num_ref, w_ref, slab, sem,
     def dma(idx, s):
         xx = idx // NJ
         jj = idx - xx * NJ
-        start = (xx * SY + jj * TY) * G
+        # literal per-term coefficients: Mosaic's divisibility prover
+        # must show start % the row tiling (16 for 16-bit dtypes); it
+        # factors xx * (SY * G) + jj * (TY * G) -- both coefficients are
+        # 16-divisible by RowLayout construction -- but not the
+        # distributed (xx * SY + jj * TY) * G form.
+        start = xx * (SY * G) + jj * (TY * G)
         return pltpu.make_async_copy(
-            geo_hbm.at[pl.ds(start, SLAB), :], slab.at[s], sem.at[s])
+            geo_hbm.at[pl.ds(start, SLAB), :],
+            slab.at[s, pl.ds(0, SLAB)], sem.at[s])
 
     @pl.when(i == 0)
     def _():
@@ -379,7 +413,8 @@ def _reconcile_kernel(geo_hbm, num_ref, w_ref, slab, sem,
         dma(i + 1, (i + 1) % 2).start()
 
     dma(i, i % 2).wait()
-    v_all = slab[i % 2].reshape(TY + 2, G, 128).astype(jnp.float32)
+    v_all = slab[i % 2, pl.ds(0, SLAB)].reshape(
+        TY + 2, G, 128).astype(jnp.float32)
     v = v_all[1:TY + 1]
     vy = v_all[0:TY]
 
@@ -423,7 +458,8 @@ def reconcile_slot_pallas(geo: jnp.ndarray, layout,
         out_specs=[spec, spec],
         out_shape=[jax.ShapeDtypeStruct((X, Y, Zp), jnp.float32),
                    jax.ShapeDtypeStruct((X, Y, Zp), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((2, (TY + 2) * G, 128), geo.dtype),
+        scratch_shapes=[pltpu.VMEM((2, _slab_rows(TY, G, geo.dtype), 128),
+                                   geo.dtype),
                         pltpu.SemaphoreType.DMA((2,))],
         compiler_params=_compiler_params(),
         interpret=interpret,
