@@ -25,7 +25,9 @@ def test_bench_all_modes_tiny():
     lines = [l for l in out.stdout.strip().splitlines() if l.strip()]
     recs = [json.loads(l) for l in lines]
     for r in recs:
-        assert set(r) == {"metric", "value", "unit", "vs_baseline"}
+        # required driver-parse keys; modes may add disclosure extras
+        # (approximations, exact_recurrence_fps, ...)
+        assert {"metric", "value", "unit", "vs_baseline"} <= set(r)
         assert r["value"] > 0
     # all four modes must have been measured (the headline line is
     # re-emitted after each secondary so a mid-run kill still leaves the
