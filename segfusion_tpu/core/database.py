@@ -81,9 +81,15 @@ class Database:
 
     def _padded_shape(self, shape):
         m = self.pad_shape_multiple
-        if m <= 1:
-            return tuple(shape)
-        return tuple(int(-(-d // m) * m) for d in shape)
+        x, y, z = (int(-(-d // m) * m) for d in shape) if m > 1 \
+            else (int(d) for d in shape)
+        # Row-path alignment: the Pallas slab kernels need a y-tile TY
+        # with TY % 8 == 0 (ops/rowvol.py pick_ty / RowLayout), which
+        # exists for every Y that is a multiple of 8. Metric-neutral:
+        # every evaluate/mesh/save path crops to grid_shape first, and
+        # pad voxels are never scatter targets.
+        y = -(-y // 8) * 8
+        return (x, y, z)
 
     def _crop(self, arr, scene_id):
         sx, sy, sz = self.grid_shape[scene_id]

@@ -70,6 +70,21 @@ def _compiler_params():
         return None
 
 
+def _check_slab_alignment(dtype, TY, G):
+    """16-bit geo slab DMA legality: Mosaic requires copy starts
+    divisible by 16 raw rows (TY * G with the even-SY*G layout term) and
+    slice shapes (TY + 2) * G divisible by 8. RowLayout (G multiple of
+    4) + Database Y-padding (TY % 8 == 0 via pick_ty) guarantee both for
+    every Database volume; direct callers on unpadded shapes get this
+    loud error instead of a Mosaic lowering failure."""
+    if jnp.dtype(dtype).itemsize == 2 and (TY % 8 or G % 4):
+        raise ValueError(
+            f"16-bit geo slab kernels need TY % 8 == 0 and G % 4 == 0 "
+            f"(got TY={TY}, G={G}); pad the volume Y extent to a "
+            "multiple of 8 (Database._padded_shape does this "
+            "automatically) or use a float32 geo state")
+
+
 def _slab_rows(TY, G, dtype):
     """Per-buffer geo-slab rows, padded up so each double-buffer slot
     starts on a Mosaic dim-0 tile boundary: the slot offset s * rows must
@@ -131,6 +146,8 @@ def _shadow_tile_compute(v_all, *, TY, G, GK):
     if G < Gp:   # odd group count: the last gk's odd half is zero
         v_all = jnp.concatenate(
             [v_all, jnp.zeros((TY + 2, Gp - G, 128), v_all.dtype)], axis=1)
+    elif G > Gp:  # DMA-alignment pad groups (RowLayout rounds G up to a
+        v_all = v_all[:, :Gp]       # multiple of 4): zeros, never shadowed
     vh = v_all.reshape(TY + 2, GK, 2, 128)
     vA_all, vB_all = vh[:, :, 0], vh[:, :, 1]     # (TY+2, GK, 128)
 
@@ -241,6 +258,7 @@ def build_shadow_pallas(geo: jnp.ndarray, layout, interpret: bool = False,
     L = layout
     X, Y, G, GK = L.X, L.Y, L.G, L.GK
     TY = _pick_ty(Y, max_ty)
+    _check_slab_alignment(geo.dtype, TY, G)
     NJ = Y // TY
     out = pl.pallas_call(
         functools.partial(_kernel, TY=TY, SY=L.SY, G=G, GK=GK,
@@ -349,6 +367,7 @@ def build_shadow_dirty_pallas(geo: jnp.ndarray, prev_shadow: jnp.ndarray,
     L = layout
     X, Y, G, GK = L.X, L.Y, L.G, L.GK
     TY = _pick_ty(Y, max_ty)
+    _check_slab_alignment(geo.dtype, TY, G)
     NJ = Y // TY
     out = pl.pallas_call(
         functools.partial(_dirty_kernel, TY=TY, SY=L.SY, G=G, GK=GK,
@@ -447,6 +466,7 @@ def reconcile_slot_pallas(geo: jnp.ndarray, layout,
     L = layout
     X, Y, G = L.X, L.Y, L.G
     TY = _pick_ty(Y, max_ty)
+    _check_slab_alignment(geo.dtype, TY, G)
     NJ = Y // TY
     Zp = 16 * G
     spec = pl.BlockSpec((1, TY, Zp), lambda x, j: (x, j, 0))

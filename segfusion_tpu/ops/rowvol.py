@@ -159,14 +159,16 @@ class RowLayout(NamedTuple):
     """Static layout constants derived from the canonical volume shape.
 
     ALIGNMENT: the shadow/reconcile kernels DMA geo slabs starting at
-    row (x * SY + j * TY) * G, and Mosaic must prove those starts
-    divisible by the HBM row tiling -- 8 rows for f32, 16 for 16-bit
-    dtypes (bf16 packs (2, 1)). Hence G is ceil(Z/16) rounded up to EVEN
-    (== 2 * GK; with pick_ty's TY % 8 == 0 this makes TY * G % 16 == 0)
-    and SY is Y + 2 padded minimally so SY * G % 16 == 0. The pad rows
-    and pad z-groups hold zeros, are never scatter targets (corner rows
-    index physical y in [-1, Y] -> indices [0, Y + 1] < SY), and the
-    last tile's slab read stops at index Y + 2 <= SY."""
+    row (x * SY + j * TY) * G with slice shape (TY + 2) * G, and Mosaic
+    must prove starts divisible by the HBM row tiling -- 8 rows for f32,
+    16 for 16-bit dtypes (bf16 packs (2, 1)) -- and 16-bit slice SHAPES
+    divisible by 8. Hence G is ceil(Z/16) rounded up to a MULTIPLE OF 4
+    (>= 2 * GK; with pick_ty's TY % 8 == 0 this makes TY * G % 16 == 0
+    and (TY + 2) * G % 8 == 0) and SY is Y + 2 padded minimally so
+    SY * G % 16 == 0. The pad rows and pad z-groups hold zeros, are
+    never scatter targets (corner rows index physical y in [-1, Y] ->
+    indices [0, Y + 1] < SY; z-slot groups index z // 16 < 2 * GK <= G),
+    and the last tile's slab read stops at index Y + 2 <= SY."""
     X: int
     Y: int
     Z: int
@@ -178,7 +180,7 @@ class RowLayout(NamedTuple):
     def for_shape(shape: Tuple[int, int, int]) -> "RowLayout":
         X, Y, Z = int(shape[0]), int(shape[1]), int(shape[2])
         GK = _cdiv(Z, 32)
-        G = 2 * GK
+        G = -(-2 * GK // 4) * 4
         SY = Y + 2
         while (SY * G) % 16:
             SY += 1

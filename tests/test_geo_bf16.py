@@ -72,7 +72,8 @@ def _reachable_bf16_geo(L, rng):
     return jnp.asarray(g5.reshape(L.geo_rows, 128)).astype(jnp.bfloat16)
 
 
-@pytest.mark.parametrize("shape", [(24, 20, 160), (6, 8, 40), (5, 6, 12)])
+@pytest.mark.parametrize("shape", [(24, 24, 160), (6, 8, 40), (5, 8, 12),
+                                   (16, 88, 84)])
 def test_build_shadow_pallas_bf16_bit_equal(shape):
     from segfusion_tpu.ops.pallas.shadow_build import build_shadow_pallas
     L = RowLayout.for_shape(shape)
@@ -82,7 +83,8 @@ def test_build_shadow_pallas_bf16_bit_equal(shape):
     assert np.array_equal(np.asarray(got), np.asarray(want))
 
 
-@pytest.mark.parametrize("shape", [(24, 20, 160), (5, 6, 12)])
+@pytest.mark.parametrize("shape", [(24, 24, 160), (5, 8, 12),
+                                   (16, 88, 84)])
 def test_reconcile_slot_pallas_bf16_bit_equal(shape):
     from segfusion_tpu.ops.pallas.shadow_build import reconcile_slot_pallas
     from segfusion_tpu.ops.rowvol import _reconcile_slot
@@ -93,6 +95,32 @@ def test_reconcile_slot_pallas_bf16_bit_equal(shape):
     assert got_n.dtype == jnp.float32
     assert np.array_equal(np.asarray(got_n), np.asarray(want_n))
     assert np.array_equal(np.asarray(got_w), np.asarray(want_w))
+
+
+def test_bf16_kernels_reject_unaligned_layout():
+    """16-bit slab kernels must refuse layouts the Mosaic DMA tiling
+    cannot prove aligned (Y with no 8-divisible tile -> TY % 8 != 0)
+    instead of failing at lowering time. Database._padded_shape pads Y
+    to a multiple of 8, so Database volumes never hit this."""
+    from segfusion_tpu.ops.pallas.shadow_build import build_shadow_pallas
+    L = RowLayout.for_shape((6, 20, 40))   # Y=20: no 8-divisible divisor
+    geo = _reachable_bf16_geo(L, np.random.RandomState(7))
+    with pytest.raises(ValueError, match="multiple of 8"):
+        build_shadow_pallas(geo, L, interpret=True)
+
+
+def test_database_pads_y_to_multiple_of_8():
+    from segfusion_tpu.core.database import Database
+
+    class _Cfg(dict):
+        __getattr__ = dict.get
+        init_value = 0.1
+
+    db = Database.__new__(Database)
+    db.pad_shape_multiple = 1
+    assert db._padded_shape((84, 84, 84)) == (84, 88, 84)
+    db.pad_shape_multiple = 8
+    assert db._padded_shape((84, 84, 84)) == (88, 88, 88)
 
 
 def test_dirty_shadow_bf16_bit_equal():
