@@ -107,7 +107,7 @@ def main():
     for label, m in (("random init", rand_metrics),
                      ("trained", trained_metrics)):
         print(f"| {label} | {m['Mean IoU']:.4f} "
-              f"| {m['Overall Acc']:.4f} |")
+              f"| {m['Acc']:.4f} |")
 
 
 if __name__ == "__main__":
