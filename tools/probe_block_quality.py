@@ -57,6 +57,10 @@ def main():
                          "a long orbit whose consecutive frames heavily "
                          "overlap -- the frame-block staleness stress "
                          "case; the checkpoint stays the 60-frame one)")
+    ap.add_argument("--only", default=None,
+                    help="run only cases whose label contains this "
+                         "substring (e.g. 'bf16' to re-run the 16-bit "
+                         "rows without repeating the measured f32 ones)")
     args = ap.parse_args()
 
     from segfusion_tpu.config import load_config_from_yaml
@@ -72,7 +76,9 @@ def main():
     print(f"checkpoint: {ckpt}", flush=True)
 
     rows = []
-    for label, env in SETTINGS:
+    cases = [(label, env) for label, env in SETTINGS
+             if args.only is None or args.only in label]
+    for label, env in cases:
         for k in _KNOBS:
             os.environ.pop(k, None)
         os.environ.update(env)
