@@ -30,6 +30,7 @@ SETTINGS = [
     ("frame_block=4", {"SEGFUSION_FRAME_BLOCK": "4"}),
     ("frame_block=8", {"SEGFUSION_FRAME_BLOCK": "8"}),
     ("sem_every=4", {"SEGFUSION_SEM_EVERY": "4"}),
+    ("sem_every=8", {"SEGFUSION_SEM_EVERY": "8"}),
     ("frame_block=4 + sem_every=4", {"SEGFUSION_FRAME_BLOCK": "4",
                                      "SEGFUSION_SEM_EVERY": "4"}),
     ("geo bf16", {"SEGFUSION_GEO_DTYPE": "bfloat16"}),

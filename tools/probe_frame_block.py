@@ -59,24 +59,28 @@ def sweep_speed(ks):
         jax.clear_caches()
 
 
-def sweep_headline(ks):
+def sweep_headline(ks, sems=(None,)):
     import jax
     import numpy as np
     import bench as B
     from segfusion_tpu.core.volume import init_scene_volume
 
-    for k in ks:
-        os.environ["SEGFUSION_FRAME_BLOCK"] = str(k)
-        cfg, pipe, params_stats, seg_params, volume, frames = \
-            B._headline_setup()
-        params_stats = pipe.prepare_params(*params_stats)
-        fps, vol_out = B._stream_rows(pipe, params_stats, volume, frames,
-                                      seg_params)
-        print(f"HEADLINE 256^2  k={k:2d}  {fps:7.2f} fps "
-              f"({1000.0 / fps:6.2f} ms/frame)", flush=True)
-        B._free_buffers((vol_out, params_stats, seg_params))
-        del pipe, vol_out, params_stats, seg_params
-        jax.clear_caches()
+    for sem in sems:
+        if sem is not None:
+            os.environ["SEGFUSION_SEM_EVERY"] = str(sem)
+        for k in ks:
+            os.environ["SEGFUSION_FRAME_BLOCK"] = str(k)
+            cfg, pipe, params_stats, seg_params, volume, frames = \
+                B._headline_setup()
+            params_stats = pipe.prepare_params(*params_stats)
+            fps, vol_out = B._stream_rows(pipe, params_stats, volume,
+                                          frames, seg_params)
+            tag = "" if sem is None else f" sem_every={sem}"
+            print(f"HEADLINE 256^2  k={k:2d}{tag}  {fps:7.2f} fps "
+                  f"({1000.0 / fps:6.2f} ms/frame)", flush=True)
+            B._free_buffers((vol_out, params_stats, seg_params))
+            del pipe, vol_out, params_stats, seg_params
+            jax.clear_caches()
 
 
 def main():
@@ -85,6 +89,10 @@ def main():
                     choices=["speed", "headline", "both"])
     ap.add_argument("--ks", default=None,
                     help="comma-separated k values")
+    ap.add_argument("--sems", default=None,
+                    help="comma-separated sem_integrate_every values for "
+                         "the headline sweep (cross product with --ks); "
+                         "default: inherit SEGFUSION_SEM_EVERY")
     args = ap.parse_args()
     if args.mode in ("speed", "both"):
         ks = ([int(x) for x in args.ks.split(",")] if args.ks
@@ -93,7 +101,9 @@ def main():
     if args.mode in ("headline", "both"):
         ks = ([int(x) for x in args.ks.split(",")] if args.ks
               else [1, 2, 4])
-        sweep_headline(ks)
+        sems = ([int(x) for x in args.sems.split(",")] if args.sems
+                else [None])
+        sweep_headline(ks, sems)
 
 
 if __name__ == "__main__":

@@ -21,6 +21,10 @@ timeout 3600 python tools/probe_block_quality.py --n_frames 300 --only bf16 \
     > /tmp/r5_blockq.log 2>&1
 echo "BLOCKQ rc=$? $(date -u +%H:%M:%S)" >> /tmp/r5_chain.log
 
+timeout 2400 python tools/probe_frame_block.py --mode headline \
+    --ks 4,8 --sems 4,8 > /tmp/r5_hsweep.log 2>&1
+echo "HSWEEP rc=$? $(date -u +%H:%M:%S)" >> /tmp/r5_chain.log
+
 timeout 5400 python tools/run_seg_quality_demo.py \
     > /tmp/r5_segdemo.log 2>&1
 echo "SEGDEMO rc=$? $(date -u +%H:%M:%S)" >> /tmp/r5_chain.log
