@@ -172,7 +172,7 @@ class RowLayout(NamedTuple):
     X: int
     Y: int
     Z: int
-    G: int       # geo z-slot groups: ceil(Z/16) rounded up to even
+    G: int       # geo z-slot groups: 2 * GK rounded up to a multiple of 4
     GK: int      # key/shadow z-slot groups: ceil(Z/32) (32 slots per row)
     SY: int      # geo y-stride: Y + 2 halo rows + DMA-alignment padding
 
