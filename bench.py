@@ -7,7 +7,10 @@ mode runs FIRST and its line is re-emitted after each secondary mode, so
 the FINAL stdout line is always the headline (parsers that read the last
 line get it even if the run is killed mid-mode); the full set rides in
 the artifact tail. SEGFUSION_BENCH_BUDGET (seconds, default 2400) bounds
-the wall clock: secondaries that would not fit are skipped.
+the wall clock: secondaries that would not fit are skipped, and a
+watchdog thread hard-exits at the deadline (re-emitting the headline,
+rc 0) so an overrunning compile can never push the process into the
+driver's external timeout.
 
 Disclosure: modes that run with an approximation enabled (frame_block
 staleness, semantic-integration decimation, bf16 geo accumulators) name
@@ -70,11 +73,40 @@ def note(msg):
 # SEGFUSION_BENCH_BUDGET); single-mode runs have none.
 _DEADLINE = None
 
+# cached headline JSON line, re-emitted by the watchdog on forced exit
+_HEADLINE_LINE = None
+
 
 def _time_left():
     if _DEADLINE is None:
         return float("inf")
     return _DEADLINE - time.monotonic()
+
+
+def _arm_watchdog(seconds):
+    """Backstop for the budget: the skip logic only decides BEFORE a mode
+    starts, so a secondary whose compile overruns its estimate can blow
+    past the budget and hit the driver's external timeout (rc=124 --
+    exactly how round 4 lost its headline, BENCH_r04.json). At the
+    deadline this daemon re-emits the cached headline line and exits 0;
+    if the headline itself never finished there is nothing worth saving
+    and it exits 3 (same information as the external kill, but
+    self-inflicted and with a clean rc)."""
+    import threading
+
+    def fire():
+        if _HEADLINE_LINE is not None:
+            print(_HEADLINE_LINE, flush=True)
+            note("bench: watchdog deadline hit; exiting with the cached "
+                 "headline as the final line")
+            os._exit(0)
+        note("bench: watchdog deadline hit before the headline finished")
+        os._exit(3)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
 
 
 def build_config(h, w):
@@ -379,7 +411,7 @@ def bench_speed():
     # -- the k=8 line must never be lost to the k=1 compile)
     exact_fps = None
     if os.environ.get("SEGFUSION_FRAME_BLOCK") in (None, "1") \
-            and _time_left() > 240:
+            and _time_left() > 480:
         import jax
 
         jax.clear_caches()
@@ -630,12 +662,12 @@ def main():
     # timeout lands first.
     budget = float(os.environ.get("SEGFUSION_BENCH_BUDGET", "2400"))
     t0 = time.monotonic()
-    global _DEADLINE
+    global _DEADLINE, _HEADLINE_LINE
     _DEADLINE = t0 + budget
-    headline_line = None
+    _arm_watchdog(budget)
     try:
-        headline_line = json.dumps(run_mode("headline"))
-        print(headline_line, flush=True)
+        _HEADLINE_LINE = json.dumps(run_mode("headline"))
+        print(_HEADLINE_LINE, flush=True)
     except Exception as e:
         note(f"bench: headline mode failed: {e!r}")
     durations = [time.monotonic() - t0]
@@ -647,9 +679,12 @@ def main():
         # unreliable (see _free_buffers)
         jax.clear_caches()
         left = budget - (time.monotonic() - t0)
-        if left < max(durations):
-            note(f"bench: {left:.0f}s left < est {max(durations):.0f}s; "
-                 f"skipping {mode}")
+        # 1.25x margin: the estimate is the longest mode seen so far, but
+        # a fresh mode's compile can exceed it (the watchdog backstops
+        # anything that still overruns)
+        if left < 1.25 * max(durations):
+            note(f"bench: {left:.0f}s left < 1.25x est "
+                 f"{max(durations):.0f}s; skipping {mode}")
             continue
         tm = time.monotonic()
         try:
@@ -657,8 +692,8 @@ def main():
         except Exception as e:   # a secondary mode must not sink the run
             note(f"bench: mode {mode} failed: {e!r}")
         durations.append(time.monotonic() - tm)
-        if headline_line is not None:
-            print(headline_line, flush=True)
+        if _HEADLINE_LINE is not None:
+            print(_HEADLINE_LINE, flush=True)
 
 
 if __name__ == "__main__":

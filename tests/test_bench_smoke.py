@@ -37,3 +37,36 @@ def test_bench_all_modes_tiny():
     # the driver's single-line parse reads the LAST stdout line -- it
     # must be the headline mode
     assert "joint fusion+semantics" in recs[-1]["metric"]
+
+
+def _run_watchdog_child(headline):
+    code = (
+        "import sys, time, bench\n"
+        f"bench._HEADLINE_LINE = {headline!r}\n"
+        "bench._arm_watchdog(0.2)\n"
+        "time.sleep(30)\n"          # stand-in for an overrunning compile
+        "sys.exit(9)\n"             # must never be reached
+    )
+    env = dict(os.environ)
+    env.update({"JAX_PLATFORMS": "cpu", "PYTHONPATH": "",
+                "PALLAS_AXON_POOL_IPS": ""})
+    return subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
+                          capture_output=True, text=True, timeout=120)
+
+
+def test_bench_watchdog_reemits_headline_and_exits_zero():
+    """The budget watchdog is the rc=124 backstop (BENCH_r04.json lost
+    the round-4 headline to the driver's external timeout): at the
+    deadline it must print the cached headline as the final stdout line
+    and exit 0, even while the main thread is stuck."""
+    line = json.dumps({"metric": "joint fusion+semantics (test)",
+                       "value": 1.0, "unit": "fps", "vs_baseline": 0.1})
+    out = _run_watchdog_child(line)
+    assert out.returncode == 0, (out.returncode, out.stderr[-2000:])
+    assert out.stdout.strip().splitlines()[-1] == line
+
+
+def test_bench_watchdog_without_headline_exits_nonzero():
+    out = _run_watchdog_child(None)
+    assert out.returncode == 3, (out.returncode, out.stderr[-2000:])
+    assert out.stdout.strip() == ""
