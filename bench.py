@@ -221,17 +221,20 @@ def _headline_setup(h=256, w=256):
     # (tools/probe_block_quality.py). SEGFUSION_FRAME_BLOCK=1 retry rung
     # restores the exact per-frame recurrence.
     cfg.SETTINGS.frame_block = 4
-    # round-5 measured defaults (tools/probe_geo_bf16.py, one TPU
-    # window): bf16 geo accumulators (14.30 -> 14.43 fps) + semantic
-    # integration every 4th frame (-> 17.47 fps; k=8 knees back to
-    # 16.99). Quality cost on the joint demo checkpoint: geometry
-    # bit-flat, sem mIoU wobbles +-0.01 (tools/probe_block_quality.py).
-    # Every approximation is named in the emitted metric string; the
-    # SEGFUSION_GEO_DTYPE / SEGFUSION_SEM_EVERY envs override (and the
-    # retry ladder restores float32 / exact semantics on failure).
+    # round-5 measured defaults (tools/probe_frame_block.py headline
+    # (k x sem_every) sweep, one TPU window: 17.48 @ k4/sem4, 17.00 @
+    # k8/sem4, 18.18 @ k4/sem8) -- bf16 geo accumulators + semantic
+    # integration every 8th frame. Quality on the 300-frame high-overlap
+    # orbit (tools/probe_block_quality.py table in PERFORMANCE.md):
+    # geometry IMPROVES with frame_block (IoU 0.724 -> 0.743 at k=4) and
+    # sem_every=8 nudges sem mIoU UP (0.3599 vs 0.3564 exact -- fewer
+    # stale-extraction key votes). Every approximation is named in the
+    # emitted metric string; the SEGFUSION_GEO_DTYPE / SEGFUSION_SEM_EVERY
+    # envs override (and the retry ladder restores float32 / exact
+    # semantics on failure).
     cfg.SETTINGS.geo_dtype = "bfloat16"
     if not os.environ.get("SEGFUSION_SEM_EVERY"):
-        cfg.SETTINGS.sem_integrate_every = 4
+        cfg.SETTINGS.sem_integrate_every = 8
     pipe, params_stats, seg_params = build_pipeline(cfg, h, w)
 
     # Replica-room-scale volume: ~4.5m box at 1cm voxels
