@@ -99,6 +99,15 @@ EXTRACT_REDUCE = os.environ.get("SEGFUSION_EXTRACT_REDUCE", "select128")
 # geo+key integrate stage -- the select tree saves the relayout.
 UPDATE_BUILD = os.environ.get("SEGFUSION_UPDATE_BUILD", "lane128")
 
+# 16-bit geo accumulators: build the (M, 128) scatter-add rows directly
+# in the state dtype instead of f32 + astype at the scatter. The build
+# is pure lane PLACEMENT (iota-mask selects, no arithmetic on the
+# values), so rounding vals8 BEFORE the select tree is bit-identical to
+# rounding the placed rows after it (zeros round to zeros) -- but the
+# materialised (M, 128) intermediate and the scatter's update-operand
+# read halve. No effect when the state is f32. A/B flag for probes.
+EARLY_CAST = os.environ.get("SEGFUSION_EARLY_CAST", "1") != "0"
+
 # In-ray duplicate-row merging before the scatters. MEASURED round 4
 # and DEAD: the real in-tail duplicate-row fraction is 0.028 (not the
 # hypothesised ~6/7 -- a ray stepping ~1 voxel/sample changes x or y_lo
@@ -822,13 +831,19 @@ def _merge_runs(rows, upd, t, combine, neutral):
 
 
 def _geo_scatter(geo, b: _UpdateBlock, t_merge: int = 0):
-    upd = _build_geo_update(b.sgs, b.vals8)
+    vals8 = b.vals8
+    # 16-bit state: the update weight math stays f32; the values round
+    # to the accumulator dtype (RTNE) BEFORE the placement-only select
+    # tree (EARLY_CAST, bit-identical to rounding after it) so the
+    # (M, 128) intermediate materialises at half the bytes. Run-merging
+    # does arithmetic on the built rows, so it forces the f32 build.
+    if EARLY_CAST and t_merge <= 1 and vals8.dtype != geo.dtype:
+        vals8 = vals8.astype(geo.dtype)
+    upd = _build_geo_update(b.sgs, vals8)
     rows = b.rows
     if t_merge > 1:
         rows, upd = _merge_runs(rows, upd, t_merge, jnp.add,
                                 jnp.float32(0))
-    # 16-bit state: the update weight math stays f32; only the final
-    # (M, 128) rows round to the accumulator dtype (RTNE) at the scatter
     return geo.at[rows].add(upd.astype(geo.dtype))
 
 

@@ -174,6 +174,35 @@ def test_integrate_rows_bf16_tracks_f32():
                                atol=0.05, rtol=0.02)
 
 
+def test_early_cast_build_is_bit_identical():
+    """EARLY_CAST (bf16 vals8 before the placement-only select tree)
+    must produce bit-identical states to the f32 build + astype-at-
+    scatter path (rowvol._geo_scatter)."""
+    rng = np.random.RandomState(11)
+    num, w, key = _state(rng)
+    L = RowLayout.for_shape(SHAPE)
+    n, p, t = 96, 5, 4
+    pts = jnp.asarray(
+        rng.rand(n, p, 3).astype(np.float32) * (np.asarray(SHAPE) - 1))
+    values = jnp.asarray(rng.randn(n, t).astype(np.float32) * 0.1)
+    cr = corner_rows(pts, L)
+    geo0, krows = rows_from_volume(num, w, key, L,
+                                   geo_dtype=jnp.bfloat16)
+
+    orig = rowvol.EARLY_CAST
+    try:
+        rowvol.EARLY_CAST = True
+        g_on, _ = integrate_rows(geo0, krows, cr, values, None, None,
+                                 n_tail=t)
+        rowvol.EARLY_CAST = False
+        g_off, _ = integrate_rows(geo0, krows, cr, values, None, None,
+                                  n_tail=t)
+    finally:
+        rowvol.EARLY_CAST = orig
+    np.testing.assert_array_equal(
+        np.asarray(g_on).view(np.uint16), np.asarray(g_off).view(np.uint16))
+
+
 H = W = 24
 
 

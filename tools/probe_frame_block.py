@@ -59,28 +59,35 @@ def sweep_speed(ks):
         jax.clear_caches()
 
 
-def sweep_headline(ks, sems=(None,)):
+def sweep_headline(ks, sems=(None,), earlys=(None,)):
     import jax
     import numpy as np
     import bench as B
     from segfusion_tpu.core.volume import init_scene_volume
 
+    from segfusion_tpu.ops import rowvol
+
     for sem in sems:
         if sem is not None:
             os.environ["SEGFUSION_SEM_EVERY"] = str(sem)
         for k in ks:
-            os.environ["SEGFUSION_FRAME_BLOCK"] = str(k)
-            cfg, pipe, params_stats, seg_params, volume, frames = \
-                B._headline_setup()
-            params_stats = pipe.prepare_params(*params_stats)
-            fps, vol_out = B._stream_rows(pipe, params_stats, volume,
-                                          frames, seg_params)
-            tag = "" if sem is None else f" sem_every={sem}"
-            print(f"HEADLINE 256^2  k={k:2d}{tag}  {fps:7.2f} fps "
-                  f"({1000.0 / fps:6.2f} ms/frame)", flush=True)
-            B._free_buffers((vol_out, params_stats, seg_params))
-            del pipe, vol_out, params_stats, seg_params
-            jax.clear_caches()
+            for early in earlys:
+                etag = ""
+                if early is not None:
+                    rowvol.EARLY_CAST = bool(early)
+                    etag = f" early_cast={int(early)}"
+                os.environ["SEGFUSION_FRAME_BLOCK"] = str(k)
+                cfg, pipe, params_stats, seg_params, volume, frames = \
+                    B._headline_setup()
+                params_stats = pipe.prepare_params(*params_stats)
+                fps, vol_out = B._stream_rows(pipe, params_stats, volume,
+                                              frames, seg_params)
+                tag = "" if sem is None else f" sem_every={sem}"
+                print(f"HEADLINE 256^2  k={k:2d}{tag}{etag}  {fps:7.2f} "
+                      f"fps ({1000.0 / fps:6.2f} ms/frame)", flush=True)
+                B._free_buffers((vol_out, params_stats, seg_params))
+                del pipe, vol_out, params_stats, seg_params
+                jax.clear_caches()
 
 
 def main():
@@ -93,6 +100,9 @@ def main():
                     help="comma-separated sem_integrate_every values for "
                          "the headline sweep (cross product with --ks); "
                          "default: inherit SEGFUSION_SEM_EVERY")
+    ap.add_argument("--earlys", default=None,
+                    help="comma-separated 0/1 rowvol.EARLY_CAST values "
+                         "(headline sweep cross product)")
     args = ap.parse_args()
     if args.mode in ("speed", "both"):
         ks = ([int(x) for x in args.ks.split(",")] if args.ks
@@ -103,7 +113,9 @@ def main():
               else [1, 2, 4])
         sems = ([int(x) for x in args.sems.split(",")] if args.sems
                 else [None])
-        sweep_headline(ks, sems)
+        earlys = ([int(x) for x in args.earlys.split(",")]
+                  if args.earlys else [None])
+        sweep_headline(ks, sems, earlys)
 
 
 if __name__ == "__main__":
