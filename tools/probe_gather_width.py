@@ -79,6 +79,35 @@ def probe(V, m, width, two_gathers=False):
           f"{per / m * 1e9:6.2f} ns/sample)", flush=True)
 
 
+def probe_scatter(V, M, width, dtype_name="bf16"):
+    import jax
+    import jax.numpy as jnp
+
+    dt = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+    state = jnp.zeros((V, width), dt)
+    idx = mkidx(jax.random.PRNGKey(3), M, V)
+    upd = jnp.ones((M, width), jnp.float32)
+
+    def run(state, idx, upd):
+        def body(k, s):
+            return s.at[(idx + k) % V].add(upd.astype(s.dtype))
+        return jax.lax.fori_loop(0, INNER, body, state)
+
+    fn = jax.jit(run, donate_argnums=(0,))
+    state = fn(state, idx, upd)
+    sync(state[0])
+    best = 1e30
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        state = fn(state, idx, upd)
+        sync(state[0])
+        best = min(best, time.perf_counter() - t0)
+    per = best / INNER
+    print(f"scatter-add {dtype_name} (M,{width:4d}) V={V:8d} M={M}: "
+          f"{per * 1e3:8.2f} ms ({per / M * 1e9:6.2f} ns/row)",
+          flush=True)
+
+
 def main():
     m = 256 * 256 * 9            # headline extraction rows per frame
     V128 = 2809856               # key-shadow rows at 448^3 (GK layout)
@@ -89,6 +118,13 @@ def main():
     probe(V128, m, 128)
     probe(V256, m, 256)
     probe(V256 // 2, m, 512)
+    # scatter side: geo slot state at 448^3 is (5669888, 128) bf16 today;
+    # an x-paired 256-lane layout would be (2834944, 256) with ~0.75x the
+    # update rows. Measure per-row cost vs width at constant state bytes.
+    VG = V128 * 2 if not os.environ.get("PROBE_TINY") else 16384
+    probe_scatter(VG, 2 * m, 128)            # today's geo scatter rows
+    probe_scatter(VG // 2, 2 * m, 256)       # same rows, 2x lanes
+    probe_scatter(VG // 2, (2 * m) * 3 // 4, 256)  # x-pair expected rows
 
 
 if __name__ == "__main__":
